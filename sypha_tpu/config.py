@@ -1,0 +1,131 @@
+"""Configuration for the solver stack.
+
+Mirrors the reference's three-tier flag system (constexpr defaults in
+src/sypha_environment_defaults.h, boost::program_options CLI in
+src/sypha_environment.cpp:110-149, and the programmatic SolverParameters in
+include/sypha/sypha.h:19-42) as a single frozen dataclass; the CLI and the
+modeling API both consume it.
+
+``IpmOptions`` is the *static* (hashable) subset that parameterises jitted
+code; it is split out so it can be a jit static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class IpmOptions:
+    """Static parameters of the jitted Mehrotra predictor-corrector loop.
+
+    Defaults follow reference src/sypha_environment_defaults.h:14-24 where a
+    counterpart exists; tolerances default tighter (1e-8 duality gap) per the
+    rebuild's accuracy target.
+    """
+
+    # Maximum Mehrotra iterations (reference kMehrotraMaxIter=25; we default
+    # higher because we target 1e-8 gaps rather than mu<1e-4).
+    max_iter: int = 60
+    # Step damping factor eta (reference kMehrotraEta=0.95).  With
+    # adaptive_eta, eta_k = max(eta, 1 - mu_k) accelerates the endgame.
+    eta: float = 0.95
+    adaptive_eta: bool = True
+    # Convergence: relative duality gap AND relative primal/dual feasibility.
+    tol_gap: float = 1e-8
+    tol_feas: float = 1e-8
+    # Also stop when the duality measure mu falls below this (reference
+    # kMehrotraMuTol=1e-4 is its only criterion; ours is the conjunction of
+    # gap/feasibility OR mu below mu_tol_hard).
+    mu_tol_hard: float = 1e-12
+    # Clip on the scaling matrix D^2 = x/s entries to keep the normal
+    # equations finite near convergence.
+    d2_min: float = 1e-30
+    d2_max: float = 1e30
+    # Static diagonal regularisation of A D^2 A^T, scaled by its mean diagonal.
+    cholesky_reg: float = 1e-14
+    # Centering exponent: sigma = (mu_aff/mu)**sigma_pow (reference uses 3,
+    # gsl_pow_3 at src/sypha_solver.cpp:622).
+    sigma_pow: int = 3
+    # Divergence guard: declare numerical failure when mu exceeds this.
+    mu_max: float = 1e32
+
+    def replace(self, **kw) -> "IpmOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class CgOptions:
+    """Static parameters of the conjugate-gradient normal-equations path.
+
+    Mirrors reference kKrylov* defaults (src/sypha_environment_defaults.h:21-24)
+    including the per-IPM-iteration adaptive tolerance decay
+    (src/sypha_solver.cpp:552-553).
+    """
+
+    max_cg_iter: int = 500
+    tol_initial: float = 1e-2
+    tol_final: float = 1e-8
+    tol_decay_rate: float = 0.5
+
+    def replace(self, **kw) -> "CgOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class BnbOptions:
+    """Branch & bound driver knobs (reference src/sypha_environment_defaults.h:32-47)."""
+
+    max_nodes: int = 100000
+    # Batch of node LPs solved together per vmapped device round; plays the
+    # role (and default size is deliberately smaller than) the reference's
+    # DeviceNodeWindow capacity of 1000 — we actually solve the window
+    # concurrently rather than staging it.
+    node_batch: int = 32
+    gap_stall_branch_iters: int = 5
+    gap_stall_min_improv_pct: float = 1.0
+    integrality_tol: float = 1e-6
+    heuristic_every_n_nodes: int = 1
+    log_interval_sec: float = 5.0
+    hard_time_limit_sec: float = 0.0
+    gap_stagnation_window: int = 50
+    auto_fallback_lp: bool = True
+    cuts_enabled: bool = True
+    cut_rounds_root: int = 5
+    max_cuts_per_round: int = 50
+    var_selection: str = "most_fractional"  # or "highest_cost"
+    int_heuristics: str = "nearest_integer_fixing,dual_guided_cover_repair"
+
+    def replace(self, **kw) -> "BnbOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Top-level configuration: environment + all subsystem options.
+
+    Field names track the reference CLI flags (src/sypha_environment.cpp:111-149).
+    """
+
+    verbosity: int = 5
+    time_limit_sec: float = 0.0  # 0 = unlimited (reference kBnbHardTimeLimitSeconds)
+    seed: int = 0
+
+    # linear solver strategy: auto | dense | cg  (reference adds sparse_qr,
+    # which exists to suit cusolverSp and has no TPU-native reason to exist;
+    # `auto` picks dense Cholesky vs CG by padded problem size).
+    linear_solver: str = "auto"
+
+    disable_bnb: bool = False
+    show_solution: bool = False
+
+    preprocess_time_limit_sec: float = 5.0
+    preprocess_column_strategies: str = "single_column_dominance,two_column_dominance"
+
+    ipm: IpmOptions = IpmOptions()
+    cg: CgOptions = CgOptions()
+    bnb: BnbOptions = BnbOptions()
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,121 @@
+"""Standard-form construction and fixed-shape padding.
+
+``scp_standard_form`` converts an ScpModel to  min c.x, A x = b, x >= 0 with
+A = [A0 | -I] and b = 1 — every covering row gains a surplus column with
+coefficient -1 (reference src/model_reader.cpp:146-157 does the same during
+reading).
+
+``pad_lp`` then pads to a fixed (m_pad, n_pad) bucket so jit compiles once
+per bucket; see core.problem.PaddedLp for the padding convention.  Buckets
+default to TPU-friendly multiples: lanes are 128 wide, so n rounds to 128;
+m rounds to 8 (f32 sublane) which XLA further tiles internally.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from sypha_tpu.core.problem import PaddedLp, ScpModel
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bucket_dims(
+    m: int,
+    n: int,
+    row_multiple: int = 8,
+    col_multiple: int = 128,
+    extra_rows: int = 0,
+) -> Tuple[int, int]:
+    """Padded dims for a standard-form LP with m rows, n columns.
+
+    ``extra_rows`` reserves space for B&B branch rows / cuts (each added row
+    also adds one surplus column).
+    """
+    mp = _round_up(m + extra_rows, row_multiple)
+    np_ = _round_up(n + extra_rows, col_multiple)
+    return mp, np_
+
+
+def scp_standard_form(model: ScpModel) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense standard form (A, b, c) with A = [A0 | -I], b = 1, c = [costs, 0]."""
+    m, n0 = model.nrows, model.ncols
+    n = n0 + m
+    A = np.zeros((m, n), dtype=np.float64)
+    for i, cols in enumerate(model.rows):
+        A[i, cols] = 1.0
+        A[i, n0 + i] = -1.0
+    b = np.ones(m, dtype=np.float64)
+    c = np.concatenate([model.costs.astype(np.float64), np.zeros(m)])
+    return A, b, c
+
+
+def pad_standard_form(
+    A: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    n_struct: int,
+    m_pad: Optional[int] = None,
+    n_pad: Optional[int] = None,
+    extra_rows: int = 0,
+) -> PaddedLp:
+    """Pad an explicit standard-form (A, b, c) into a PaddedLp."""
+    m, n = A.shape
+    auto_mp, auto_np = bucket_dims(m, n, extra_rows=extra_rows)
+    mp = m_pad if m_pad is not None else auto_mp
+    np_ = n_pad if n_pad is not None else auto_np
+    if mp < m or np_ < n:
+        raise ValueError(f"padded dims ({mp},{np_}) smaller than real dims ({m},{n})")
+
+    Ap = np.zeros((mp, np_), dtype=np.float64)
+    Ap[:m, :n] = A
+    bp = np.zeros(mp, dtype=np.float64)
+    bp[:m] = b
+    cp = np.ones(np_, dtype=np.float64)  # pad columns get cost 1 (kept interior, -> 0)
+    cp[:n] = c
+    row_pad = np.zeros(mp, dtype=np.float64)
+    row_pad[m:] = 1.0
+
+    return PaddedLp(
+        A=jnp.asarray(Ap),
+        b=jnp.asarray(bp),
+        c=jnp.asarray(cp),
+        row_pad=jnp.asarray(row_pad),
+        m_real=jnp.asarray(m, dtype=jnp.int32),
+        n_real=jnp.asarray(n, dtype=jnp.int32),
+        n_struct=jnp.asarray(n_struct, dtype=jnp.int32),
+    )
+
+
+def pad_lp(
+    model: ScpModel,
+    m_pad: Optional[int] = None,
+    n_pad: Optional[int] = None,
+    extra_rows: int = 0,
+) -> PaddedLp:
+    """ScpModel -> padded device LP (standard form + bucket padding)."""
+    A, b, c = scp_standard_form(model)
+    return pad_standard_form(
+        A, b, c, n_struct=model.ncols, m_pad=m_pad, n_pad=n_pad, extra_rows=extra_rows
+    )
+
+
+def stack_lps(lps: Sequence[PaddedLp]) -> PaddedLp:
+    """Stack same-bucket PaddedLps into one batched PaddedLp with leading [B]."""
+    shapes = {(lp.m_pad, lp.n_pad) for lp in lps}
+    if len(shapes) != 1:
+        raise ValueError(f"cannot stack LPs from different buckets: {sorted(shapes)}")
+    return PaddedLp(
+        A=jnp.stack([lp.A for lp in lps]),
+        b=jnp.stack([lp.b for lp in lps]),
+        c=jnp.stack([lp.c for lp in lps]),
+        row_pad=jnp.stack([lp.row_pad for lp in lps]),
+        m_real=jnp.stack([lp.m_real for lp in lps]),
+        n_real=jnp.stack([lp.n_real for lp in lps]),
+        n_struct=jnp.stack([lp.n_struct for lp in lps]),
+    )

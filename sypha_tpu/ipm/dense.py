@@ -1,0 +1,225 @@
+"""Mehrotra predictor-corrector IPM on dense normal equations.
+
+TPU-native rewrite of the reference LP core (src/sypha_solver.cpp:42-886).
+Instead of factorising the (2n+m)^2 indefinite 3x3 KKT system the reference
+assembles for cusolverSp, we solve the m x m normal equations
+
+    (A D^2 A^T) dy = f,   D^2 = X / S,
+
+like the reference's Krylov path (src/sypha_solver_krylov.cu:180-223) and the
+prototype's dense path (python/interior_point.py:114-121), but with a single
+Cholesky factorisation per iteration reused for predictor and corrector
+(the reference reuses its LU factor the same way,
+src/sypha_solver_dense_linear.cpp:187-203).
+
+Everything here is shape-static, jit-safe and vmap-safe: the whole solve is
+one ``lax.while_loop``; per-iteration device->host syncs (the reference's
+cuBLAS scalar returns, see SURVEY §3.4) do not exist.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sypha_tpu.config import IpmOptions
+from sypha_tpu.core.problem import PaddedLp
+from sypha_tpu.core.status import IpmStatus
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IpmState:
+    """Device-resident iterate. All leaves are arrays; batchable via vmap."""
+
+    x: jnp.ndarray  # [n_pad] primal
+    y: jnp.ndarray  # [m_pad] dual
+    s: jnp.ndarray  # [n_pad] dual slacks
+    mu: jnp.ndarray  # scalar duality measure x.s / n_pad
+    gap: jnp.ndarray  # scalar relative duality gap
+    res_p: jnp.ndarray  # scalar relative primal infeasibility
+    res_d: jnp.ndarray  # scalar relative dual infeasibility
+    iterations: jnp.ndarray  # int32
+    status: jnp.ndarray  # int32 IpmStatus
+
+
+def _chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    z = lax.linalg.triangular_solve(
+        L, rhs, left_side=True, lower=True, transpose_a=False
+    )
+    return lax.linalg.triangular_solve(
+        L, z, left_side=True, lower=True, transpose_a=True
+    )
+
+
+def initial_point(lp: PaddedLp):
+    """Mehrotra's initial-point heuristic (reference
+    src/sypha_solver_init.cpp:543-652; python/interior_point.py:13-57):
+    x = A^T (A A^T)^-1 b,  y = (A A^T)^-1 A c,  s = c - A^T y, followed by
+    positivity shifts.  ``row_pad`` regularises A A^T on pad rows."""
+    A, b, c = lp.A, lp.b, lp.c
+    AAT = A @ A.T + jnp.diag(lp.row_pad)
+    L = lax.linalg.cholesky(AAT)
+    x = A.T @ _chol_solve(L, b[..., None])[..., 0]
+    y = _chol_solve(L, (A @ c)[..., None])[..., 0]
+    s = c - A.T @ y
+
+    delta_x = jnp.maximum(-1.5 * jnp.min(x), 0.0)
+    delta_s = jnp.maximum(-1.5 * jnp.min(s), 0.0)
+    x_hat = x + delta_x
+    s_hat = s + delta_s
+    p = jnp.dot(x_hat, s_hat)
+    x = x_hat + 0.5 * p / jnp.sum(s_hat)
+    s = s_hat + 0.5 * p / jnp.sum(x_hat)
+    return x, y, s
+
+
+def _alpha_max(v: jnp.ndarray, dv: jnp.ndarray) -> jnp.ndarray:
+    """max alpha in [0,1] with v + alpha*dv >= 0 (fractional-step rule;
+    reference alpha_max_dev, src/sypha_solver_utils.cu:139-177, as a pure
+    masked min-reduction — no D2H sync)."""
+    ratios = jnp.where(dv < 0.0, -v / jnp.where(dv < 0.0, dv, -1.0), jnp.inf)
+    return jnp.minimum(1.0, jnp.min(ratios))
+
+
+def _make_state(lp: PaddedLp, x, y, s) -> IpmState:
+    n_pad = lp.c.shape[-1]
+    one = jnp.asarray(1.0, lp.c.dtype)
+    return IpmState(
+        x=x,
+        y=y,
+        s=s,
+        mu=jnp.dot(x, s) / n_pad,
+        gap=one,
+        res_p=one,
+        res_d=one,
+        iterations=jnp.asarray(0, jnp.int32),
+        status=jnp.asarray(IpmStatus.RUNNING, jnp.int32),
+    )
+
+
+def mehrotra_solve(
+    lp: PaddedLp,
+    opts: IpmOptions,
+    x0=None,
+    y0=None,
+    s0=None,
+) -> IpmState:
+    """Full Mehrotra solve as one ``lax.while_loop``.  Optionally warm-started.
+
+    Single-instance; wrap with ``jax.vmap`` for batches (driver.solve_lp_batch).
+    """
+    A, b, c = lp.A, lp.b, lp.c
+    n_pad = c.shape[-1]
+    norm_b = 1.0 + jnp.linalg.norm(b)
+    norm_c = 1.0 + jnp.linalg.norm(c)
+    pad_diag = jnp.diag(lp.row_pad)
+
+    if x0 is None:
+        x, y, s = initial_point(lp)
+    else:
+        x, y, s = x0, y0, s0
+    state0 = _make_state(lp, x, y, s)
+
+    def cond(st: IpmState):
+        return st.status == IpmStatus.RUNNING
+
+    def body(st: IpmState) -> IpmState:
+        x, y, s = st.x, st.y, st.s
+
+        # Fresh residuals every iteration (the reference rescales them
+        # incrementally, src/sypha_solver.cpp:714-720; recomputing costs two
+        # matvecs and removes float drift on the way to 1e-8).
+        r_b = A @ x - b
+        r_c = A.T @ y + s - c
+        mu = jnp.dot(x, s) / n_pad
+
+        pobj = jnp.dot(c, x)
+        dobj = jnp.dot(b, y)
+        gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj))
+        res_p = jnp.linalg.norm(r_b) / norm_b
+        res_d = jnp.linalg.norm(r_c) / norm_c
+
+        converged = jnp.logical_or(
+            jnp.logical_and(
+                gap < opts.tol_gap,
+                jnp.logical_and(res_p < opts.tol_feas, res_d < opts.tol_feas),
+            ),
+            mu < opts.mu_tol_hard,
+        )
+        diverged = jnp.logical_or(~jnp.isfinite(mu), mu > opts.mu_max)
+        hit_max = st.iterations >= opts.max_iter
+
+        # --- one predictor-corrector step (computed unconditionally; lanes
+        # that just finished discard it via the select below) ---
+        d2 = jnp.clip(x / s, opts.d2_min, opts.d2_max)
+        M = (A * d2[None, :]) @ A.T
+        mean_diag = jnp.trace(M) / M.shape[-1]
+        M = M + (opts.cholesky_reg * mean_diag) * jnp.eye(M.shape[-1], dtype=M.dtype)
+        M = M + pad_diag
+        L = lax.linalg.cholesky(M)
+
+        s_safe = jnp.maximum(s, 1e-300)
+
+        def newton(r_xs):
+            vec1 = r_xs / s_safe
+            f = -r_b - A @ (d2 * r_c) + A @ vec1
+            dy = _chol_solve(L, f[..., None])[..., 0]
+            ds = -r_c - A.T @ dy
+            dx = -vec1 - d2 * ds
+            return dx, dy, ds
+
+        # predictor (affine scaling)
+        r_xs = x * s
+        dxa, dya, dsa = newton(r_xs)
+        a_p = _alpha_max(x, dxa)
+        a_d = _alpha_max(s, dsa)
+        mu_aff = jnp.dot(x + a_p * dxa, s + a_d * dsa) / n_pad
+        sigma = (mu_aff / mu) ** opts.sigma_pow
+
+        # corrector, reusing the factor (reference corrector_rhs_dev,
+        # src/sypha_solver_utils.cu:51-65: r_xs += dx_aff*ds_aff - sigma*mu)
+        dx, dy, ds = newton(r_xs + dxa * dsa - sigma * mu)
+
+        eta = (
+            jnp.maximum(opts.eta, 1.0 - mu) if opts.adaptive_eta else opts.eta
+        )
+        alpha_p = jnp.minimum(1.0, eta * _alpha_max(x, dx))
+        alpha_d = jnp.minimum(1.0, eta * _alpha_max(s, ds))
+
+        x_new = x + alpha_p * dx
+        y_new = y + alpha_d * dy
+        s_new = s + alpha_d * ds
+
+        step_ok = jnp.logical_and(
+            jnp.all(jnp.isfinite(x_new)),
+            jnp.logical_and(jnp.all(jnp.isfinite(y_new)), jnp.all(jnp.isfinite(s_new))),
+        )
+
+        new_status = jnp.where(
+            converged,
+            IpmStatus.CONVERGED,
+            jnp.where(
+                diverged | ~step_ok,
+                IpmStatus.INFEASIBLE_OR_NUMERICAL,
+                jnp.where(hit_max, IpmStatus.MAX_ITER, IpmStatus.RUNNING),
+            ),
+        ).astype(jnp.int32)
+        stepped = new_status == IpmStatus.RUNNING
+
+        return IpmState(
+            x=jnp.where(stepped, x_new, x),
+            y=jnp.where(stepped, y_new, y),
+            s=jnp.where(stepped, s_new, s),
+            mu=mu,
+            gap=gap,
+            res_p=res_p,
+            res_d=res_d,
+            iterations=st.iterations + stepped.astype(jnp.int32),
+            status=new_status,
+        )
+
+    return lax.while_loop(cond, body, state0)
