@@ -27,6 +27,9 @@ computation, hence the config update at import time.
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# On TPU, f32 matmuls default to bf16 MXU passes (~1e-2 relative error) —
+# fatal for the f32 Cholesky factors in ops.linalg.  Force true-f32 matmuls.
+_jax.config.update("jax_default_matmul_precision", "highest")
 
 from sypha_tpu.config import SolverConfig, IpmOptions  # noqa: E402
 from sypha_tpu.core.status import IpmStatus, MilpStatus  # noqa: E402

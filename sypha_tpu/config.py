@@ -43,8 +43,19 @@ class IpmOptions:
     # equations finite near convergence.
     d2_min: float = 1e-30
     d2_max: float = 1e30
-    # Static diagonal regularisation of A D^2 A^T, scaled by its mean diagonal.
-    cholesky_reg: float = 1e-14
+    # --- Newton-system linear solver (ops.spd): factor the equilibrated
+    # normal matrix in this dtype ("float32" rides the MXU, ~20x cheaper than
+    # emulated f64 on TPU), then recover f64 accuracy with flexible PCG in
+    # f64 preconditioned by that factor. ---
+    factor_dtype: str = "float32"
+    # Ridge added to the equilibrated (unit-diagonal) matrix before
+    # factoring; None = auto by dtype (2e-6 for f32, 1e-12 for f64).
+    factor_ridge: float | None = None
+    # Leaf size of the block-recursive Cholesky inverse.
+    chol_leaf_size: int = 64
+    # PCG stopping: relative residual on the equilibrated system + step cap.
+    newton_tol: float = 1e-10
+    newton_max_steps: int = 60
     # Centering exponent: sigma = (mu_aff/mu)**sigma_pow (reference uses 3,
     # gsl_pow_3 at src/sypha_solver.cpp:622).
     sigma_pow: int = 3

@@ -7,10 +7,12 @@ assembles for cusolverSp, we solve the m x m normal equations
     (A D^2 A^T) dy = f,   D^2 = X / S,
 
 like the reference's Krylov path (src/sypha_solver_krylov.cu:180-223) and the
-prototype's dense path (python/interior_point.py:114-121), but with a single
-Cholesky factorisation per iteration reused for predictor and corrector
-(the reference reuses its LU factor the same way,
-src/sypha_solver_dense_linear.cpp:187-203).
+prototype's dense path (python/interior_point.py:114-121).  The factorisation
+is computed once per iteration and reused for predictor and corrector (the
+reference reuses its LU factor the same way,
+src/sypha_solver_dense_linear.cpp:187-203); on TPU the factor is an
+equilibrated f32 inverse-Cholesky (ops.linalg.block_chol_inverse) and each
+Newton solve is flexible PCG in f64 preconditioned by it (ops.spd).
 
 Everything here is shape-static, jit-safe and vmap-safe: the whole solve is
 one ``lax.while_loop``; per-iteration device->host syncs (the reference's
@@ -28,6 +30,7 @@ from jax import lax
 from sypha_tpu.config import IpmOptions
 from sypha_tpu.core.problem import PaddedLp
 from sypha_tpu.core.status import IpmStatus
+from sypha_tpu.ops.spd import spd_factor, spd_solve
 
 
 @jax.tree_util.register_dataclass
@@ -46,25 +49,25 @@ class IpmState:
     status: jnp.ndarray  # int32 IpmStatus
 
 
-def _chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    z = lax.linalg.triangular_solve(
-        L, rhs, left_side=True, lower=True, transpose_a=False
-    )
-    return lax.linalg.triangular_solve(
-        L, z, left_side=True, lower=True, transpose_a=True
-    )
+def _factor_params(opts: IpmOptions):
+    dtype = jnp.float32 if opts.factor_dtype == "float32" else jnp.float64
+    ridge = opts.factor_ridge
+    if ridge is None:
+        ridge = 2e-6 if dtype == jnp.float32 else 1e-12
+    return dtype, ridge
 
 
-def initial_point(lp: PaddedLp):
+def initial_point(lp: PaddedLp, opts: IpmOptions = IpmOptions()):
     """Mehrotra's initial-point heuristic (reference
     src/sypha_solver_init.cpp:543-652; python/interior_point.py:13-57):
     x = A^T (A A^T)^-1 b,  y = (A A^T)^-1 A c,  s = c - A^T y, followed by
     positivity shifts.  ``row_pad`` regularises A A^T on pad rows."""
     A, b, c = lp.A, lp.b, lp.c
+    dtype, ridge = _factor_params(opts)
     AAT = A @ A.T + jnp.diag(lp.row_pad)
-    L = lax.linalg.cholesky(AAT)
-    x = A.T @ _chol_solve(L, b[..., None])[..., 0]
-    y = _chol_solve(L, (A @ c)[..., None])[..., 0]
+    fac = spd_factor(AAT, dtype, ridge, opts.chol_leaf_size)
+    x = A.T @ spd_solve(fac, b, tol=1e-12, max_steps=opts.newton_max_steps)
+    y = spd_solve(fac, A @ c, tol=1e-12, max_steps=opts.newton_max_steps)
     s = c - A.T @ y
 
     delta_x = jnp.maximum(-1.5 * jnp.min(x), 0.0)
@@ -117,9 +120,10 @@ def mehrotra_solve(
     norm_b = 1.0 + jnp.linalg.norm(b)
     norm_c = 1.0 + jnp.linalg.norm(c)
     pad_diag = jnp.diag(lp.row_pad)
+    dtype, ridge = _factor_params(opts)
 
     if x0 is None:
-        x, y, s = initial_point(lp)
+        x, y, s = initial_point(lp, opts)
     else:
         x, y, s = x0, y0, s0
     state0 = _make_state(lp, x, y, s)
@@ -156,18 +160,15 @@ def mehrotra_solve(
         # --- one predictor-corrector step (computed unconditionally; lanes
         # that just finished discard it via the select below) ---
         d2 = jnp.clip(x / s, opts.d2_min, opts.d2_max)
-        M = (A * d2[None, :]) @ A.T
-        mean_diag = jnp.trace(M) / M.shape[-1]
-        M = M + (opts.cholesky_reg * mean_diag) * jnp.eye(M.shape[-1], dtype=M.dtype)
-        M = M + pad_diag
-        L = lax.linalg.cholesky(M)
+        M = (A * d2[None, :]) @ A.T + pad_diag
+        fac = spd_factor(M, dtype, ridge, opts.chol_leaf_size)
 
         s_safe = jnp.maximum(s, 1e-300)
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
             f = -r_b - A @ (d2 * r_c) + A @ vec1
-            dy = _chol_solve(L, f[..., None])[..., 0]
+            dy = spd_solve(fac, f, opts.newton_tol, opts.newton_max_steps)
             ds = -r_c - A.T @ dy
             dx = -vec1 - d2 * ds
             return dx, dy, ds
