@@ -61,6 +61,12 @@ class IpmOptions:
     sigma_pow: int = 3
     # Divergence guard: declare numerical failure when mu exceeds this.
     mu_max: float = 1e32
+    # Relative-gap stagnation monitor (reference src/sypha_solver.cpp:739-769):
+    # stop with GAP_STALLED when the gap fails to improve by
+    # gap_stall_min_improv (fraction) for gap_stall_window iterations.
+    # 0 disables (LP-only solves); the B&B driver enables it per node.
+    gap_stall_window: int = 0
+    gap_stall_min_improv: float = 0.01
 
     def replace(self, **kw) -> "IpmOptions":
         return dataclasses.replace(self, **kw)

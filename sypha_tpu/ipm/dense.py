@@ -47,6 +47,8 @@ class IpmState:
     res_d: jnp.ndarray  # scalar relative dual infeasibility
     iterations: jnp.ndarray  # int32
     status: jnp.ndarray  # int32 IpmStatus
+    best_gap: jnp.ndarray  # scalar: best gap seen (stagnation monitor)
+    stall_count: jnp.ndarray  # int32: iterations without gap improvement
 
 
 def _factor_params(opts: IpmOptions):
@@ -101,6 +103,8 @@ def _make_state(lp: PaddedLp, x, y, s) -> IpmState:
         res_d=one,
         iterations=jnp.asarray(0, jnp.int32),
         status=jnp.asarray(IpmStatus.RUNNING, jnp.int32),
+        best_gap=jnp.asarray(jnp.inf, lp.c.dtype),
+        stall_count=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -157,6 +161,16 @@ def mehrotra_solve(
         diverged = jnp.logical_or(~jnp.isfinite(mu), mu > opts.mu_max)
         hit_max = st.iterations >= opts.max_iter
 
+        # gap-stagnation monitor (reference src/sypha_solver.cpp:739-769)
+        improved = gap < st.best_gap * (1.0 - opts.gap_stall_min_improv)
+        best_gap = jnp.where(improved, gap, st.best_gap)
+        stall_count = jnp.where(improved, 0, st.stall_count + 1).astype(jnp.int32)
+        stalled = (
+            (stall_count >= opts.gap_stall_window)
+            if opts.gap_stall_window > 0
+            else jnp.asarray(False)
+        )
+
         # --- one predictor-corrector step (computed unconditionally; lanes
         # that just finished discard it via the select below) ---
         d2 = jnp.clip(x / s, opts.d2_min, opts.d2_max)
@@ -206,7 +220,11 @@ def mehrotra_solve(
             jnp.where(
                 diverged | ~step_ok,
                 IpmStatus.INFEASIBLE_OR_NUMERICAL,
-                jnp.where(hit_max, IpmStatus.MAX_ITER, IpmStatus.RUNNING),
+                jnp.where(
+                    hit_max,
+                    IpmStatus.MAX_ITER,
+                    jnp.where(stalled, IpmStatus.GAP_STALLED, IpmStatus.RUNNING),
+                ),
             ),
         ).astype(jnp.int32)
         stepped = new_status == IpmStatus.RUNNING
@@ -221,6 +239,8 @@ def mehrotra_solve(
             res_d=res_d,
             iterations=st.iterations + stepped.astype(jnp.int32),
             status=new_status,
+            best_gap=best_gap,
+            stall_count=stall_count,
         )
 
     return lax.while_loop(cond, body, state0)

@@ -1,0 +1,612 @@
+"""Branch & bound MILP driver with batched, device-resident node LP solves.
+
+Host-side rewrite of the reference's B&B orchestrator
+(src/sypha_solver_bnb_driver.cpp:163-1167), preserving its control policies:
+
+  phase 1    greedy set-cover incumbent                     (:263-292)
+  phase 2    incumbent cost cutoff + budget pruning         (:294-306)
+  phase 2.5  cost-driven pair/triplet reduction             (:308-320)
+  phase 2.7  dominance rules                                (:322-334)
+  phase 3    root LP + root heuristics + exact-root check   (:336-397)
+  phase 4/5  second reduction + dominance                   (:399-415)
+  phase 6.5  root cut rounds                                (:436-584)
+  phase 6.7  post-cut budget pruning                        (:586-615)
+  main loop  bound pruning, reliable-bound gating, integral
+             incumbents, most-fractional branching, frontier
+             pruning, mid-B&B reductions, gap-stagnation LP
+             iteration throttling, hard time limit,
+             LP-fallback                                    (:695-1158)
+
+TPU-first deviations:
+* The frontier window is solved as a real vmapped batch (solve_node_batch) —
+  the reference's DeviceNodeWindow stages nodes on device but still solves
+  them one at a time (SURVEY §2.3 item 2).
+* Column removal is masking (BaseModel.deactivate): the padded LP keeps one
+  static shape for the whole run, so node remapping reduces to dropping
+  nodes that fixed a masked column to 1.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from collections import deque
+from typing import List, Optional
+
+import numpy as np
+
+from sypha_tpu.config import SolverConfig
+from sypha_tpu.core.problem import ScpModel
+from sypha_tpu.core.status import IpmStatus, MilpStatus
+from sypha_tpu.io.standard_form import pad_standard_form
+from sypha_tpu.milp.base_model import BaseModel, BranchNode
+from sypha_tpu.milp.cuts import separate_cuts
+from sypha_tpu.milp.heuristics import (
+    fractional_candidates,
+    is_binary_integral,
+    run_heuristics,
+    select_branch_variable,
+)
+from sypha_tpu.milp.presolve import (
+    apply_presolve_rules,
+    greedy_set_cover,
+    incumbent_budget_pruning,
+)
+from sypha_tpu.utils.logging import Logger
+
+
+@dataclass
+class MilpResult:
+    status: MilpStatus
+    objective: float  # incumbent (inf if none)
+    dual_bound: float
+    mip_gap: float
+    nodes_processed: int = 0
+    total_lp_iterations: int = 0
+    solution: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    incumbent_source: str = "none"
+    wall_time_sec: float = 0.0
+    root_cuts: int = 0
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_mip_gap(incumbent: float, dual_bound: float) -> float:
+    """reference compute_mip_gap (src/sypha_solver_bnb.cpp:405-416)."""
+    if not (np.isfinite(incumbent) and np.isfinite(dual_bound)):
+        return np.inf
+    if dual_bound > incumbent:
+        return np.inf
+    return (incumbent - dual_bound) / max(1.0, abs(incumbent))
+
+
+def tighten_dual_bound(bound: float, tol: float) -> float:
+    """ceil(bound - tol) for integral objectives (src/sypha_solver_bnb.cpp:398-403)."""
+    if not np.isfinite(bound):
+        return bound
+    return float(np.ceil(bound - tol))
+
+
+class _NodeLpSolver:
+    """Owns the padded base LP on device and the bucket bookkeeping."""
+
+    def __init__(self, base: BaseModel, cfg: SolverConfig, log: Logger):
+        self.base = base
+        self.cfg = cfg
+        self.log = log
+        self.branch_budget = 16
+        self._device_base = None
+        self._bucket = None
+
+    def _rebuild_device_base(self):
+        import jax.numpy as jnp
+
+        A, b, c, n0 = self.base.standard_form(None)
+        m0, n_real = A.shape[0], A.shape[1]
+        R = self.branch_budget
+        mp = _round_up(m0 + R, 32)
+        np_ = _round_up(n_real + R, 128)
+        lp = pad_standard_form(A, b, c, n_struct=n0, m_pad=mp, n_pad=np_)
+        self._device_base = lp
+        self._bucket = (mp, np_, m0, n_real)
+        self.log.debug(
+            f"node-LP bucket: base {m0}x{n_real} padded to {mp}x{np_} "
+            f"(branch budget {R})"
+        )
+
+    def refresh(self):
+        """Base model changed (cuts appended or columns masked)."""
+        self._device_base = None
+
+    def ensure_budget(self, depth_needed: int):
+        while self.branch_budget < depth_needed:
+            self.branch_budget *= 2
+            self._device_base = None
+
+    def solve_nodes(self, nodes: List[BranchNode], opts):
+        """Solve a batch of node LPs; returns host-side per-node dicts."""
+        import jax
+        import jax.numpy as jnp
+
+        from sypha_tpu.ipm.node_batch import solve_node_batch
+
+        self.ensure_budget(max((len(n.decisions) for n in nodes), default=0))
+        if self._device_base is None:
+            self._rebuild_device_base()
+
+        B = len(nodes)
+        R = self.branch_budget
+        bvars = np.zeros((B, R), dtype=np.int32)
+        bsigns = np.zeros((B, R), dtype=np.float64)
+        bcount = np.zeros(B, dtype=np.int32)
+        for li, node in enumerate(nodes):
+            for di, d in enumerate(node.decisions):
+                bvars[li, di] = d.var
+                bsigns[li, di] = 1.0 if d.value == 1 else -1.0
+            bcount[li] = len(node.decisions)
+
+        st, pobj, dobj = solve_node_batch(
+            self._device_base,
+            jnp.asarray(bvars),
+            jnp.asarray(bsigns),
+            jnp.asarray(bcount),
+            opts,
+        )
+        host = jax.device_get(
+            {
+                "status": st.status,
+                "iterations": st.iterations,
+                "gap": st.gap,
+                "x": st.x,
+                "y": st.y,
+                "pobj": pobj,
+                "dobj": dobj,
+            }
+        )
+        n0 = self.base.ncols
+        m_all = self.base.nrows  # covering + global cut rows
+        out = []
+        for li in range(B):
+            out.append(
+                {
+                    "status": IpmStatus(int(host["status"][li])),
+                    "iterations": int(host["iterations"][li]),
+                    "x": host["x"][li][:n0],
+                    "y": host["y"][li][:m_all],
+                    "pobj": float(host["pobj"][li]),
+                    "dobj": float(host["dobj"][li]),
+                }
+            )
+        return out
+
+
+def branch_and_bound(
+    model: ScpModel, cfg: Optional[SolverConfig] = None, log: Optional[Logger] = None
+) -> MilpResult:
+    cfg = cfg or SolverConfig()
+    log = log or Logger(verbosity=cfg.verbosity)
+    t_start = time.monotonic()
+    bnb = cfg.bnb
+    px_tol = 1e-12
+    int_tol = bnb.integrality_tol
+    mip_gap_tol = 2.0 * cfg.ipm.tol_gap
+
+    base = BaseModel(model)
+    n_input = model.ncols
+
+    obj_is_integral = bool(
+        np.all(np.abs(base.costs - np.floor(base.costs + 0.5)) <= int_tol)
+    )
+    if obj_is_integral:
+        log.info("Objective coefficients are integral; enabling dual bound tightening")
+
+    best_obj = np.inf
+    best_solution = np.zeros(n_input)
+    incumbent_source = "none"
+    global_lower = np.inf
+    global_lower_raw = np.inf
+
+    def adopt(x_struct: np.ndarray, source: str, objective: float):
+        nonlocal best_obj, best_solution, incumbent_source
+        best_obj = objective
+        best_solution = (x_struct[:n_input] > 0.5).astype(np.float64)
+        incumbent_source = source
+
+    # ---- phase 1: greedy incumbent ----
+    log.info("BnB preprocessing: running greedy set cover heuristic")
+    greedy = greedy_set_cover(base)
+    if greedy.feasible:
+        x = np.zeros(n_input)
+        x[greedy.selected] = 1.0
+        adopt(x, "greedy_set_cover", greedy.objective)
+        log.info(f"Greedy heuristic incumbent: {best_obj:.12g}")
+
+    # ---- phase 2 / 2.5 / 2.7: reductions ----
+    def reduce_by_incumbent():
+        if not np.isfinite(best_obj):
+            return 0
+        too_costly = np.flatnonzero(base.active & (base.costs + px_tol >= best_obj))
+        return base.deactivate(too_costly)
+
+    removed = reduce_by_incumbent()
+    removed += incumbent_budget_pruning(
+        base, best_obj, px_tol, cfg.preprocess_time_limit_sec
+    )
+    if removed:
+        log.info(f"Greedy incumbent reduction: {removed} cols masked, {base.n_active} active")
+    removed = apply_presolve_rules(
+        base, "cost_driven_replacement", px_tol, cfg.preprocess_time_limit_sec
+    )
+    if removed:
+        log.info(f"Cost-driven pair/triplet reduction: {removed} cols masked")
+    removed = apply_presolve_rules(
+        base, cfg.preprocess_column_strategies, px_tol, cfg.preprocess_time_limit_sec
+    )
+    if removed:
+        log.info(f"Pre-LP dominance reduction: {removed} cols masked")
+
+    solver = _NodeLpSolver(base, cfg, log)
+    root = BranchNode()
+    ipm_opts = cfg.ipm
+
+    def solve_single(node: BranchNode):
+        return solver.solve_nodes([node], ipm_opts)[0]
+
+    def try_heuristics(res, node) -> bool:
+        nonlocal global_lower
+        improved = False
+        for h in run_heuristics(
+            base, bnb.int_heuristics, res["x"], res["y"], node, int_tol
+        ):
+            if h.feasible and h.objective < best_obj - px_tol:
+                adopt(h.solution, h.name, h.objective)
+                improved = True
+                log.info(f"New incumbent from heuristic '{h.name}': {h.objective:.12g}")
+        return improved
+
+    # ---- phase 3: root LP + heuristics + exact-root check ----
+    log.info("BnB preprocessing: solving root LP relaxation")
+    res = solve_single(root)
+    root_ok = res["status"] in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER)
+    if root_ok:
+        try_heuristics(res, root)
+        if (
+            is_binary_integral(res["x"], base.ncols, int_tol)
+            and res["pobj"] < best_obj - px_tol
+        ):
+            adopt(res["x"], "presolve_exact_root_lp", res["pobj"])
+        if res["status"] == IpmStatus.CONVERGED and res["dobj"] <= res["pobj"] + 1e-6:
+            root_dual = res["dobj"]
+            global_lower_raw = min(global_lower_raw, root_dual)
+            if obj_is_integral:
+                root_dual = tighten_dual_bound(root_dual, int_tol)
+            global_lower = min(global_lower, root_dual)
+    else:
+        log.info("Root LP did not converge, continuing without incumbent bound")
+
+    # ---- phase 4/5: second reduction + dominance ----
+    removed = reduce_by_incumbent()
+    removed += incumbent_budget_pruning(
+        base, best_obj, px_tol, cfg.preprocess_time_limit_sec
+    )
+    removed += apply_presolve_rules(
+        base, cfg.preprocess_column_strategies, px_tol, cfg.preprocess_time_limit_sec
+    )
+    if removed:
+        log.info(f"LP incumbent reduction: {removed} cols masked, {base.n_active} active")
+        solver.refresh()
+
+    # ---- phase 6.5: root cut rounds ----
+    root_cuts = 0
+    if bnb.cuts_enabled and bnb.cut_rounds_root > 0:
+        for cut_round in range(bnb.cut_rounds_root):
+            res = solve_single(root)
+            if res["status"] not in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER):
+                log.info(f"Cut round {cut_round + 1}: LP solve failed, stopping cuts")
+                break
+            if res["status"] == IpmStatus.CONVERGED and res["dobj"] <= res["pobj"] + 1e-6:
+                cut_dual = res["dobj"]
+                global_lower_raw = min(global_lower_raw, cut_dual)
+                if obj_is_integral:
+                    cut_dual = tighten_dual_bound(cut_dual, int_tol)
+                global_lower = min(global_lower, cut_dual)
+            if (
+                is_binary_integral(res["x"], base.ncols, int_tol)
+                and res["pobj"] < best_obj - px_tol
+            ):
+                adopt(res["x"], "cut_round_exact", res["pobj"])
+                log.info(f"Cut round {cut_round + 1}: LP integral, incumbent {best_obj:.12g}")
+                break
+            try_heuristics(res, root)
+            cuts = separate_cuts(
+                base, res["x"], res["y"], int_tol, bnb.max_cuts_per_round
+            )
+            if not cuts:
+                log.info(f"Cut round {cut_round + 1}: no violated cuts found, stopping")
+                break
+            base.add_cuts(cuts)
+            root_cuts += len(cuts)
+            solver.refresh()
+            log.info(
+                f"Cut round {cut_round + 1}: added {len(cuts)} cuts "
+                f"(total {root_cuts}, model now {base.nrows} rows)"
+            )
+
+    # ---- phase 6.7: post-cut budget pruning ----
+    if np.isfinite(best_obj):
+        removed = incumbent_budget_pruning(
+            base, best_obj, px_tol, cfg.preprocess_time_limit_sec
+        )
+        if removed:
+            log.info(f"Post-cut budget pruning: {removed} cols masked")
+            solver.refresh()
+
+    # ---- main loop ----
+    root.parent_dual_bound = global_lower if np.isfinite(global_lower) else -np.inf
+    root.parent_dual_bound_raw = (
+        global_lower_raw if np.isfinite(global_lower_raw) else -np.inf
+    )
+    frontier: deque = deque([root])
+
+    processed = 0
+    total_lp_iters = 0
+    gap_tolerance_reached = False
+    hard_limit = (
+        bnb.hard_time_limit_sec
+        if bnb.hard_time_limit_sec > 0
+        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
+    )
+    hard_limit_reached = False
+    next_log = time.monotonic() + bnb.log_interval_sec
+
+    full_opts = ipm_opts.replace(
+        gap_stall_window=bnb.gap_stall_branch_iters,
+        gap_stall_min_improv=bnb.gap_stall_min_improv_pct / 100.0,
+    )
+    reduced_opts = full_opts.replace(max_iter=max(5, ipm_opts.max_iter // 3))
+    iterations_reduced = False
+    best_mip_gap_seen = np.inf
+    node_at_last_improvement = 0
+
+    def frontier_lower():
+        lows = [n.parent_dual_bound for n in frontier]
+        raws = [n.parent_dual_bound_raw for n in frontier]
+        lo = min(lows) if lows else np.inf
+        raw = min(raws) if raws else np.inf
+        return lo, raw
+
+    def prune_frontier():
+        nonlocal frontier
+        before = len(frontier)
+        frontier = deque(
+            n for n in frontier if n.parent_dual_bound < best_obj - px_tol
+        )
+        if len(frontier) < before:
+            log.info(f"Frontier pruned: {before} -> {len(frontier)} nodes")
+
+    def mid_bnb_reductions():
+        """Mask columns with the improved incumbent; drop nodes fixing a
+        masked column to 1 (replaces reference remap_branch_node)."""
+        nonlocal frontier
+        r = reduce_by_incumbent()
+        r += incumbent_budget_pruning(
+            base, best_obj, px_tol, cfg.preprocess_time_limit_sec
+        )
+        if r > 0:
+            log.info(f"Mid-BnB reduction: {r} cols masked, {base.n_active} active")
+            solver.refresh()
+            keep = deque()
+            for n in frontier:
+                if all(
+                    base.active[d.var] or d.value == 0 for d in n.decisions
+                ):
+                    keep.append(n)
+            frontier = keep
+
+    while processed < bnb.max_nodes:
+        now = time.monotonic()
+        if hard_limit > 0 and (now - t_start) >= hard_limit:
+            hard_limit_reached = True
+            log.info("BnB hard time limit reached")
+            break
+        if np.isfinite(best_obj) and np.isfinite(global_lower):
+            cur_gap = compute_mip_gap(best_obj, global_lower)
+            if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:
+                gap_tolerance_reached = True
+                log.info(
+                    f"MIP gap {cur_gap * 100:.6f}% within LP tolerance; declaring optimal"
+                )
+                break
+        if bnb.log_interval_sec > 0 and now >= next_log:
+            lo, raw = frontier_lower()
+            if np.isfinite(lo):
+                global_lower = lo
+            elif not frontier:
+                global_lower = best_obj
+            if np.isfinite(raw):
+                global_lower_raw = raw
+            elif not frontier:
+                global_lower_raw = best_obj
+            g = compute_mip_gap(best_obj, global_lower_raw)
+            log.info(
+                f"  nodes={processed:4d} frontier={len(frontier):4d} "
+                f"lp_iters={total_lp_iters:5d} cuts={root_cuts:4d} "
+                f"incumbent={best_obj:10.6g} dual={global_lower_raw:10.6g} "
+                f"gap={g * 100:.4f}%"
+            )
+            next_log = now + bnb.log_interval_sec
+
+        # pop a batch of live nodes
+        batch: List[BranchNode] = []
+        while frontier and len(batch) < bnb.node_batch:
+            n = frontier.popleft()
+            if n.parent_dual_bound >= best_obj - px_tol:
+                continue
+            if any(d.value == 1 and not base.active[d.var] for d in n.decisions):
+                continue  # fixed-to-1 on masked column => infeasible node
+            batch.append(n)
+        if not batch:
+            if not frontier:
+                break
+            continue
+
+        opts = reduced_opts if iterations_reduced else full_opts
+        results = solver.solve_nodes(batch, opts)
+
+        for node, res in zip(batch, results):
+            if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
+                if processed == 0:
+                    log.info("Root LP infeasible or numerically unstable; aborting BnB")
+                    return MilpResult(
+                        status=MilpStatus.ABNORMAL,
+                        objective=np.inf,
+                        dual_bound=np.inf,
+                        mip_gap=np.inf,
+                        nodes_processed=processed,
+                        total_lp_iterations=total_lp_iters,
+                        wall_time_sec=time.monotonic() - t_start,
+                    )
+                continue
+
+            processed += 1
+            total_lp_iters += res["iterations"]
+            reliable = (
+                res["status"] == IpmStatus.CONVERGED
+                and np.isfinite(res["dobj"])
+                and np.isfinite(res["pobj"])
+                and res["dobj"] <= res["pobj"] + 1e-6
+            )
+            node_dual_raw = res["dobj"] if reliable else node.parent_dual_bound_raw
+            node_dual = res["dobj"] if reliable else node.parent_dual_bound
+            if obj_is_integral and reliable and np.isfinite(node_dual):
+                node_dual = tighten_dual_bound(node_dual, int_tol)
+            dual_improved = reliable and (
+                node_dual > node.parent_dual_bound + px_tol
+            )
+
+            run_h = (
+                processed == 1
+                or (
+                    bnb.heuristic_every_n_nodes > 0
+                    and processed % bnb.heuristic_every_n_nodes == 0
+                )
+                or dual_improved
+            )
+            if run_h and try_heuristics(res, node):
+                node_at_last_improvement = processed
+                prune_frontier()
+                mid_bnb_reductions()
+
+            if node_dual >= best_obj - px_tol:
+                continue
+
+            if is_binary_integral(res["x"], base.ncols, int_tol):
+                if res["pobj"] < best_obj - px_tol:
+                    x_int = np.clip(np.floor(res["x"] + 0.5), 0, 1)
+                    adopt(x_int, "exact_node", float(base.costs @ x_int))
+                    node_at_last_improvement = processed
+                    log.info(f"New incumbent from node LP: {best_obj:.12g}")
+                    prune_frontier()
+                    mid_bnb_reductions()
+                continue
+
+            cands = fractional_candidates(res["x"], base.ncols, int_tol)
+            cands = cands[base.active[cands]]
+            if len(cands) == 0:
+                continue
+            var = select_branch_variable(
+                bnb.var_selection, res["x"], base.costs, cands
+            )
+            if var < 0:
+                continue
+            for value in (0, 1):
+                child = node.child(var, value)
+                if child is not None and child is not node:
+                    child.parent_dual_bound = node_dual
+                    child.parent_dual_bound_raw = node_dual_raw
+                    frontier.append(child)
+
+            # adaptive LP-iteration throttling on MIP-gap stagnation
+            if bnb.gap_stagnation_window > 0 and np.isfinite(best_obj):
+                refresh = max(1, bnb.gap_stagnation_window // 5)
+                if processed % refresh == 0:
+                    lo, _ = frontier_lower()
+                    if np.isfinite(lo):
+                        global_lower = lo
+                cur_gap = compute_mip_gap(best_obj, global_lower)
+                if np.isfinite(cur_gap) and cur_gap < best_mip_gap_seen - 1e-8:
+                    best_mip_gap_seen = cur_gap
+                    node_at_last_improvement = processed
+                    if iterations_reduced:
+                        iterations_reduced = False
+                        log.info(
+                            f"MIP gap improved to {cur_gap * 100:.4f}%, restoring LP iterations"
+                        )
+                if (
+                    not iterations_reduced
+                    and processed - node_at_last_improvement
+                    >= bnb.gap_stagnation_window
+                ):
+                    iterations_reduced = True
+                    log.info(
+                        f"MIP gap stagnant for {bnb.gap_stagnation_window} nodes, "
+                        f"reducing LP iterations"
+                    )
+
+    # final bounds
+    lo, raw = frontier_lower()
+    if np.isfinite(lo):
+        global_lower = lo
+    elif not frontier and np.isfinite(best_obj):
+        global_lower = best_obj
+    if np.isfinite(raw):
+        global_lower_raw = raw
+    elif not frontier and np.isfinite(best_obj):
+        global_lower_raw = best_obj
+
+    wall = time.monotonic() - t_start
+    log.info(f"BnB processed {processed} nodes, {total_lp_iters} total LP iterations")
+
+    if np.isfinite(best_obj):
+        proven = (
+            (not frontier or gap_tolerance_reached)
+            and not hard_limit_reached
+            and processed < bnb.max_nodes
+        )
+        if proven:
+            status = MilpStatus.OPTIMAL
+            dual_bound = best_obj
+            gap = 0.0
+            if not gap_tolerance_reached:
+                log.info("Optimality proven: search frontier exhausted")
+        else:
+            status = MilpStatus.FEASIBLE
+            dual_bound = global_lower
+            gap = compute_mip_gap(best_obj, dual_bound)
+        return MilpResult(
+            status=status,
+            objective=best_obj,
+            dual_bound=dual_bound,
+            mip_gap=gap,
+            nodes_processed=processed,
+            total_lp_iterations=total_lp_iters,
+            solution=best_solution,
+            incumbent_source=incumbent_source,
+            wall_time_sec=wall,
+            root_cuts=root_cuts,
+        )
+
+    log.info("No integer incumbent found within node limit")
+    return MilpResult(
+        status=MilpStatus.NOT_SOLVED,
+        objective=np.inf,
+        dual_bound=global_lower,
+        mip_gap=np.inf,
+        nodes_processed=processed,
+        total_lp_iterations=total_lp_iters,
+        incumbent_source="none",
+        wall_time_sec=wall,
+        root_cuts=root_cuts,
+    )

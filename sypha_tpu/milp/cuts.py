@@ -1,0 +1,110 @@
+"""Chvátal-Gomory cut separation.
+
+Vectorised rewrite of the reference separators (src/sypha_solver_cuts.cpp):
+DualAggregatedCgSeparator (:18-93) and RowPairCgSeparator (:100-216).
+Cuts append as relaxation rows via BaseModel.add_cuts (the standard-form
+slack column appears automatically when the padded LP is built), replacing
+append_cuts_to_base_model's CSR surgery (:228-264).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from sypha_tpu.milp.base_model import BaseModel, Cut
+
+
+def _cg_round(agg: np.ndarray, rhs_sum: float, x: np.ndarray, tol: float):
+    """CG rounding + violation check shared by both separators.  Returns a
+    Cut or None."""
+    f0 = rhs_sum - np.floor(rhs_sum)
+    if f0 < tol or f0 > 1.0 - tol:
+        return None
+    cut_rhs = np.ceil(rhs_sum - tol)
+    if cut_rhs <= tol:
+        return None
+    rounded = np.ceil(agg - tol)
+    keep = rounded > tol
+    if not keep.any():
+        return None
+    lhs = rounded[keep] @ x[keep]
+    if lhs >= cut_rhs - tol:
+        return None
+    return Cut(
+        indices=np.flatnonzero(keep).astype(np.int32),
+        values=rounded[keep],
+        rhs=float(cut_rhs),
+    )
+
+
+def dual_aggregated_cg(
+    model: BaseModel, x: np.ndarray, dual: np.ndarray, tol: float
+) -> List[Cut]:
+    """Aggregate all rows with positive duals, CG-round, keep if violated
+    (reference :18-93)."""
+    A, rhs = model.rel_csr()
+    nrows = A.shape[0]
+    u = np.maximum(0.0, dual[:nrows])
+    u[u < tol] = 0.0
+    if not u.any():
+        return []
+    agg = A.T @ u
+    rhs_sum = float(u @ rhs)
+    cut = _cg_round(agg, rhs_sum, x[: model.ncols], tol)
+    if cut is None:
+        return []
+    cut.kind = "cg_dual_aggregated"
+    return [cut]
+
+
+def row_pair_cg(
+    model: BaseModel,
+    x: np.ndarray,
+    dual: np.ndarray,
+    tol: float,
+    max_rows: int = 40,
+    max_cuts: int = 30,
+) -> List[Cut]:
+    """All pairs among the top-``max_rows`` rows by dual value, CG-rounded,
+    at most ``max_cuts`` cuts (reference :100-216)."""
+    A, rhs = model.rel_csr()
+    nrows = A.shape[0]
+    d = dual[:nrows]
+    active_rows = np.flatnonzero(d > tol)
+    if len(active_rows) < 2:
+        return []
+    active_rows = active_rows[np.argsort(-d[active_rows], kind="stable")][:max_rows]
+
+    xs = x[: model.ncols]
+    cuts: List[Cut] = []
+    dense_rows = {i: np.asarray(A[i].todense()).ravel() for i in active_rows}
+    for ri in range(len(active_rows)):
+        for rj in range(ri + 1, len(active_rows)):
+            i1, i2 = int(active_rows[ri]), int(active_rows[rj])
+            u1, u2 = float(d[i1]), float(d[i2])
+            rhs_agg = u1 * rhs[i1] + u2 * rhs[i2]
+            agg = u1 * dense_rows[i1] + u2 * dense_rows[i2]
+            cut = _cg_round(agg, rhs_agg, xs, tol)
+            if cut is not None:
+                cut.kind = "cg_row_pair"
+                cuts.append(cut)
+                if len(cuts) >= max_cuts:
+                    return cuts
+    return cuts
+
+
+def separate_cuts(
+    model: BaseModel,
+    x: np.ndarray,
+    dual: np.ndarray,
+    tol: float = 1e-6,
+    max_cuts: int = 50,
+) -> List[Cut]:
+    """Run all separators in reference order, capped at max_cuts per round
+    (reference makeCutSeparators :220-226 + driver cap logic)."""
+    cuts = dual_aggregated_cg(model, x, dual, tol)
+    if len(cuts) < max_cuts:
+        cuts += row_pair_cg(model, x, dual, tol)
+    return cuts[:max_cuts]

@@ -1,0 +1,174 @@
+"""Integer heuristics + branch-variable selectors.
+
+Vectorised rewrites of the reference strategy objects
+(src/sypha_solver_heuristics.cpp): NearestIntegerFixingHeuristic (:53-110),
+DualGuidedCoverRepairHeuristic (:112-342), MostFractionalSelector (:10-30),
+HighestCostFractionalSelector (:32-51).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from sypha_tpu.milp.base_model import BaseModel, BranchNode
+
+
+@dataclass
+class HeuristicResult:
+    name: str
+    feasible: bool = False
+    objective: float = np.inf
+    solution: np.ndarray = field(default_factory=lambda: np.zeros(0))
+
+
+def _apply_decisions(x: np.ndarray, node: Optional[BranchNode]):
+    fixed_zero = np.zeros(len(x), dtype=bool)
+    fixed_one = np.zeros(len(x), dtype=bool)
+    if node is not None:
+        for d in node.decisions:
+            if 0 <= d.var < len(x):
+                x[d.var] = float(d.value)
+                (fixed_one if d.value == 1 else fixed_zero)[d.var] = True
+    return fixed_zero, fixed_one
+
+
+def nearest_integer_fixing(
+    model: BaseModel,
+    relaxed_primal: np.ndarray,
+    relaxed_dual: np.ndarray,
+    node: Optional[BranchNode] = None,
+    tol: float = 1e-6,
+) -> HeuristicResult:
+    """Round the LP point, apply branch fixings, accept iff it covers
+    (reference :53-110).  CG cuts are valid for every integer cover, so
+    checking the covering rows suffices."""
+    out = HeuristicResult("nearest_integer_fixing")
+    x = np.clip(np.floor(relaxed_primal[: model.ncols] + 0.5), 0.0, 1.0)
+    _apply_decisions(x, node)
+    A, rhs = model.rel_csr()
+    if np.all(A @ x + tol >= rhs):
+        out.feasible = True
+        out.solution = x
+        out.objective = float(model.costs @ x)
+    else:
+        out.solution = x
+    return out
+
+
+def dual_guided_cover_repair(
+    model: BaseModel,
+    relaxed_primal: np.ndarray,
+    relaxed_dual: np.ndarray,
+    node: Optional[BranchNode] = None,
+    tol: float = 1e-6,
+) -> HeuristicResult:
+    """Keep x>=1-tol variables, greedily add columns scoring
+    (uncoveredGain + dualGain)/cost until all rows hold, then remove
+    redundant columns in reverse cost order (reference :112-342)."""
+    out = HeuristicResult("dual_guided_cover_repair")
+    n = model.ncols
+    A, rhs = model.rel_csr()
+    nrows = A.shape[0]
+    dual = np.maximum(0.0, relaxed_dual[:nrows]) if len(relaxed_dual) >= nrows else np.zeros(nrows)
+
+    x = np.zeros(n)
+    x[relaxed_primal[:n] >= 1.0 - tol] = 1.0
+    fixed_zero, fixed_one = _apply_decisions(x, node)
+
+    coverage = A @ x
+    for _ in range(n + 1):
+        uncovered = coverage + tol < rhs
+        if not uncovered.any():
+            break
+        Au = A[uncovered]
+        gain = np.asarray(Au.maximum(0).sum(axis=0)).ravel()
+        dual_gain = Au.maximum(0).T @ dual[uncovered]
+        score = (gain + dual_gain) / np.maximum(1e-9, model.costs)
+        score[(x > 0.5) | fixed_zero | (gain <= 0.0)] = -np.inf
+        best = int(np.argmax(score))
+        if not np.isfinite(score[best]):
+            # fallback: cheapest selectable column on any uncovered row
+            cand = np.flatnonzero((gain > 0) & ~fixed_zero & (x <= 0.5))
+            if len(cand) == 0:
+                return out
+            best = int(cand[np.argmin(model.costs[cand])])
+        x[best] = 1.0
+        coverage = A @ x
+    else:
+        return out
+
+    # redundancy removal, most expensive first (never drop fixed-to-1 vars)
+    chosen = np.flatnonzero((x > 0.5) & ~fixed_one)
+    for j in chosen[np.argsort(-model.costs[chosen], kind="stable")]:
+        x[j] = 0.0
+        coverage = A @ x
+        if np.any(coverage + tol < rhs):
+            x[j] = 1.0
+            coverage = A @ x
+
+    if np.any(A @ x + tol < rhs):
+        return out
+    out.feasible = True
+    out.solution = x
+    out.objective = float(model.costs @ x)
+    return out
+
+
+_HEURISTICS = {
+    "nearest_integer_fixing": nearest_integer_fixing,
+    "dual_guided_cover_repair": dual_guided_cover_repair,
+}
+
+
+def run_heuristics(
+    model: BaseModel,
+    configured: str,
+    relaxed_primal: np.ndarray,
+    relaxed_dual: np.ndarray,
+    node: Optional[BranchNode] = None,
+    tol: float = 1e-6,
+) -> List[HeuristicResult]:
+    tokens = [t.strip().lower() for t in configured.split(",") if t.strip()]
+    if not tokens:
+        tokens = ["nearest_integer_fixing", "dual_guided_cover_repair"]
+    out = []
+    for t in tokens:
+        fn = _HEURISTICS.get(t)
+        if fn is not None:
+            out.append(fn(model, relaxed_primal, relaxed_dual, node, tol))
+    return out
+
+
+def fractional_candidates(x: np.ndarray, ncols: int, tol: float) -> np.ndarray:
+    """collect_fractional_candidates (src/sypha_solver_bnb.cpp:368-382)."""
+    v = x[:ncols]
+    nearest = np.floor(v + 0.5)
+    frac = np.abs(v - nearest) > tol
+    out_of_bounds = (nearest < -tol) | (nearest > 1.0 + tol)
+    return np.flatnonzero(frac | out_of_bounds)
+
+
+def select_branch_variable(
+    strategy: str, x: np.ndarray, costs: np.ndarray, candidates: np.ndarray
+) -> int:
+    if len(candidates) == 0:
+        return -1
+    if strategy == "highest_cost_fractional":
+        return int(candidates[np.argmax(costs[candidates])])
+    # most_fractional (default)
+    frac = np.abs(x[candidates] - np.floor(x[candidates] + 0.5))
+    return int(candidates[np.argmax(frac)])
+
+
+def is_binary_integral(x: np.ndarray, ncols: int, tol: float) -> bool:
+    """is_binary_integral_solution (src/sypha_solver_bnb.cpp:350-366)."""
+    v = x[:ncols]
+    nearest = np.floor(v + 0.5)
+    return bool(
+        np.all(np.abs(v - nearest) <= tol)
+        and np.all(nearest >= -tol)
+        and np.all(nearest <= 1.0 + tol)
+    )

@@ -1,0 +1,329 @@
+"""SCP presolve: greedy cover + column-elimination rules.
+
+Vectorised (bitset / numpy) reimplementation of the reference's rule objects
+(src/sypha_preprocessor.cpp): greedy_set_cover_heuristic (:11-98),
+SingleColumnDominanceRule (:217-266), TwoColumnDominanceRule (:268-337),
+CostDrivenReplacementRule (:338-488), IncumbentBudgetPruningRule (:490-665).
+All rules are deadline-bounded like the reference
+(--preprocess-time-limit-sec, default 5 s).
+
+Deliberate deviations (documented):
+* Pair/triplet searches restrict candidates to columns sharing a row with
+  the target (the reference's cost_driven rule does this; its two_column
+  rule scans all pairs — the restricted search finds the same dominations
+  once single-column dominance has run, in a fraction of the time).
+* Columns are masked via BaseModel.deactivate instead of CSR rebuilds.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from sypha_tpu.milp.base_model import BaseModel
+
+
+@dataclass
+class GreedyResult:
+    feasible: bool = False
+    objective: float = np.inf
+    selected: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+
+
+def greedy_set_cover(model: BaseModel) -> GreedyResult:
+    """Sort active columns by (cost, -coverage, index); single greedy sweep
+    adding any column that covers an uncovered row
+    (reference src/sypha_preprocessor.cpp:11-98)."""
+    act = np.flatnonzero(model.active)
+    if len(act) == 0:
+        return GreedyResult()
+    coverage = np.array([len(model.rows_by_col[j]) for j in act])
+    order = act[np.lexsort((act, -coverage, model.costs[act]))]
+
+    covered = np.zeros(model.nrows_cover, dtype=bool)
+    uncovered = model.nrows_cover
+    total = 0.0
+    selected = []
+    for j in order:
+        if uncovered <= 0:
+            break
+        rows = model.rows_by_col[j]
+        new = ~covered[rows]
+        if new.any():
+            covered[rows] = True
+            uncovered -= int(new.sum())
+            total += model.costs[j]
+            selected.append(j)
+
+    if uncovered == 0:
+        return GreedyResult(True, total, np.asarray(selected, dtype=np.int64))
+    return GreedyResult()
+
+
+def _subset_mask(target_mask: np.ndarray, masks: np.ndarray) -> np.ndarray:
+    """For each row of ``masks``: does it contain every bit of target_mask?"""
+    return ~np.any(target_mask[None, :] & ~masks, axis=1)
+
+
+class _Deadline:
+    def __init__(self, seconds: Optional[float]):
+        self.t_end = time.monotonic() + seconds if seconds and seconds > 0 else None
+
+    def expired(self) -> bool:
+        return self.t_end is not None and time.monotonic() >= self.t_end
+
+
+def single_column_dominance(model: BaseModel, tol: float, dl: _Deadline) -> int:
+    """Column j is dominated when another active column covers a superset of
+    its rows at cost <= cost_j (+tol); equal-cost ties keep the lower index
+    (reference :217-266)."""
+    removed = 0
+    costs = model.costs
+    for target in range(model.ncols):
+        if dl.expired():
+            break
+        if not model.active[target]:
+            continue
+        tmask = model.col_masks[target]
+        cand = model.active.copy()
+        cand[target] = False
+        cand &= costs <= costs[target] + tol
+        idx = np.flatnonzero(cand)
+        if len(idx) == 0:
+            continue
+        covers = _subset_mask(tmask, model.col_masks[idx])
+        if not covers.any():
+            continue
+        ok = idx[covers]
+        # tie-break: equal cost only dominates from a lower index
+        strictly_cheaper = costs[ok] < costs[target] - tol
+        lower_index = ok < target
+        if np.any(strictly_cheaper | lower_index):
+            model.active[target] = False
+            removed += 1
+    return removed
+
+
+def _row_sharing_candidates(model: BaseModel, target: int) -> np.ndarray:
+    """Active columns (!= target) sharing at least one covering row with target."""
+    rows = model.rows_by_col[target]
+    if len(rows) == 0:
+        return np.zeros(0, dtype=np.int64)
+    cand = np.unique(np.concatenate([model.cols_by_row[r] for r in rows]))
+    cand = cand[(cand != target) & model.active[cand]]
+    return cand
+
+
+def _pair_triplet_dominated(
+    model: BaseModel,
+    target: int,
+    budget: float,
+    cand: np.ndarray,
+    triplets: bool,
+    dl: _Deadline,
+) -> bool:
+    """Is some pair (or triplet) of candidates with total cost <= budget whose
+    union covers the target's rows?  Candidates must be cost-sorted asc."""
+    tmask = model.col_masks[target]
+    costs = model.costs[cand]
+    masks = model.col_masks[cand]
+    n = len(cand)
+    for i in range(n):
+        if dl.expired():
+            return False
+        ci = costs[i]
+        if ci > budget:
+            break
+        rem = tmask & ~masks[i]
+        if not rem.any():
+            continue  # single coverage is the single-column rule's job
+        jmax = np.searchsorted(costs, budget - ci, side="right")
+        if jmax > i + 1:
+            sub = masks[i + 1 : jmax]
+            hit = ~np.any(rem[None, :] & ~sub, axis=1)
+            if hit.any():
+                return True
+        if triplets:
+            for j in range(i + 1, n):
+                cij = ci + costs[j]
+                if cij > budget:
+                    break
+                rem2 = rem & ~masks[j]
+                if not rem2.any():
+                    continue
+                kmax = np.searchsorted(costs, budget - cij, side="right")
+                if kmax > j + 1:
+                    sub = masks[j + 1 : kmax]
+                    hit = ~np.any(rem2[None, :] & ~sub, axis=1)
+                    if hit.any():
+                        return True
+    return False
+
+
+def two_column_dominance(model: BaseModel, tol: float, dl: _Deadline) -> int:
+    """Pair (a,b) with cost_a + cost_b < cost_target - tol covering the
+    target's rows dominates it (reference :268-337)."""
+    removed = 0
+    for target in range(model.ncols):
+        if dl.expired():
+            break
+        if not model.active[target]:
+            continue
+        cand = _row_sharing_candidates(model, target)
+        if len(cand) < 2:
+            continue
+        cand = cand[np.argsort(model.costs[cand], kind="stable")]
+        budget = model.costs[target] - tol - 1e-300
+        if _pair_triplet_dominated(model, target, budget, cand, False, dl):
+            model.active[target] = False
+            removed += 1
+    return removed
+
+
+def cost_driven_replacement(model: BaseModel, tol: float, dl: _Deadline) -> int:
+    """Pair and triplet replacement, targets scanned most-expensive-first,
+    with total cost <= cost_target + tol (reference :338-488)."""
+    removed = 0
+    order = np.flatnonzero(model.active)
+    order = order[np.argsort(-model.costs[order], kind="stable")]
+    for target in order:
+        if dl.expired():
+            break
+        if not model.active[target]:
+            continue
+        cand = _row_sharing_candidates(model, target)
+        if len(cand) < 2:
+            continue
+        cand = cand[np.argsort(model.costs[cand], kind="stable")]
+        budget = model.costs[target] + tol
+        if _pair_triplet_dominated(model, target, budget, cand, True, dl):
+            model.active[target] = False
+            removed += 1
+    return removed
+
+
+def incumbent_budget_pruning(
+    model: BaseModel,
+    incumbent: float,
+    tol: float = 1e-12,
+    time_limit_sec: Optional[float] = 5.0,
+) -> int:
+    """Remove columns that cannot appear in any integer solution strictly
+    better than the incumbent (reference IncumbentBudgetPruningRule,
+    src/sypha_preprocessor.cpp:490-665): per column j, the remaining budget
+    is floor(incumbent) - 1 - floor(cost_j); tiered exact checks for
+    budget in {<0, 0, 1} and a max-of-min-row-cost lower bound for >= 2."""
+    if not np.isfinite(incumbent):
+        return 0
+    dl = _Deadline(time_limit_sec)
+    removed = 0
+    inc_floor = np.floor(incumbent)
+
+    order = np.flatnonzero(model.active)
+    order = order[np.argsort(-model.costs[order], kind="stable")]
+
+    # cheapest active cost per covering row (recomputed lazily)
+    def row_min_costs() -> np.ndarray:
+        rm = np.full(model.nrows_cover, np.inf)
+        for r in range(model.nrows_cover):
+            cols = model.cols_by_row[r]
+            cols = cols[model.active[cols]]
+            if len(cols):
+                rm[r] = model.costs[cols].min()
+        return rm
+
+    rmin = row_min_costs()
+    stale = 0
+
+    cost1 = np.flatnonzero(model.active & (np.abs(model.costs - 1.0) <= tol))
+    full_mask = np.zeros(model._nwords, dtype=np.uint64)
+    all_rows = np.arange(model.nrows_cover, dtype=np.int64)
+    w, b = np.divmod(all_rows, 64)
+    np.bitwise_or.at(full_mask, w, np.uint64(1) << b.astype(np.uint64))
+
+    for target in order:
+        if dl.expired():
+            break
+        if not model.active[target]:
+            continue
+        budget = inc_floor - 1.0 - np.floor(model.costs[target])
+        if budget < -tol:
+            model.active[target] = False
+            removed += 1
+            continue
+
+        tmask = model.col_masks[target]
+        uncovered_mask = full_mask & ~tmask
+        if not uncovered_mask.any():
+            continue  # covers everything on its own
+
+        if budget < tol:  # budget == 0
+            model.active[target] = False
+            removed += 1
+            stale += 1
+            continue
+
+        if budget < 1.0 + tol:  # budget == 1: one cost-1 column must finish the job
+            c1 = cost1[model.active[cost1]]
+            c1 = c1[c1 != target]
+            found = (
+                len(c1) > 0
+                and _subset_mask(uncovered_mask, model.col_masks[c1]).any()
+            )
+            if not found:
+                model.active[target] = False
+                removed += 1
+                stale += 1
+            continue
+
+        # budget >= 2: every uncovered row needs an affordable column, and the
+        # max of per-row min costs must fit in the budget.
+        if stale > 64:
+            rmin = row_min_costs()
+            stale = 0
+        uncovered_rows = all_rows[
+            (tmask[w] & (np.uint64(1) << b.astype(np.uint64))) == 0
+        ]
+        worst = rmin[uncovered_rows].max() if len(uncovered_rows) else 0.0
+        if not np.isfinite(worst) or worst > budget + tol:
+            model.active[target] = False
+            removed += 1
+            stale += 1
+    return removed
+
+
+_RULES = {
+    "single_column_dominance": single_column_dominance,
+    "single": single_column_dominance,
+    "two_column_dominance": two_column_dominance,
+    "pair": two_column_dominance,
+    "two": two_column_dominance,
+    "cost_driven_replacement": cost_driven_replacement,
+    "cost_driven": cost_driven_replacement,
+}
+
+
+def apply_presolve_rules(
+    model: BaseModel,
+    strategies: str = "single_column_dominance,two_column_dominance",
+    tol: float = 1e-12,
+    time_limit_sec: Optional[float] = 5.0,
+) -> int:
+    """Apply the CSV-configured rule list (reference makeColumnPreprocessRules,
+    src/sypha_preprocessor.cpp:669-712).  'none' disables everything."""
+    tokens = [t.strip().lower() for t in strategies.split(",") if t.strip()]
+    if "none" in tokens:
+        return 0
+    if not tokens:
+        tokens = ["single_column_dominance", "two_column_dominance"]
+    dl = _Deadline(time_limit_sec)
+    removed = 0
+    for t in tokens:
+        rule = _RULES.get(t)
+        if rule is None:
+            continue
+        removed += rule(model, tol, dl)
+    return removed

@@ -1,0 +1,140 @@
+"""MILP pipeline: heuristics, cuts, and end-to-end B&B vs scipy HiGHS."""
+
+import numpy as np
+import pytest
+import scipy.optimize
+import scipy.sparse
+
+from sypha_tpu import parse_scp_text, read_scp_file
+from sypha_tpu.config import SolverConfig
+from sypha_tpu.core.status import MilpStatus
+from sypha_tpu.milp import branch_and_bound
+from sypha_tpu.milp.base_model import BaseModel, BranchNode
+from sypha_tpu.milp.cuts import separate_cuts
+from sypha_tpu.milp.heuristics import (
+    dual_guided_cover_repair,
+    nearest_integer_fixing,
+    select_branch_variable,
+)
+
+
+TINY = """3 4
+2 3 4 5
+2 1 2
+2 2 3
+3 1 3 4
+"""
+
+
+def scipy_milp_optimum(model):
+    A = model.dense_matrix()
+    res = scipy.optimize.milp(
+        c=model.costs,
+        constraints=scipy.optimize.LinearConstraint(A, lb=1.0),
+        integrality=np.ones(model.ncols),
+        bounds=scipy.optimize.Bounds(0, 1),
+    )
+    assert res.status == 0, res.message
+    return res.fun
+
+
+def test_nearest_integer_fixing_accepts_valid_rounding():
+    base = BaseModel(parse_scp_text(TINY))
+    # LP-like point that rounds to a valid cover {0, 2}: covers {0,1},{1,2},{0,2,3}? col2 covers rows 1,2; col0 covers 0,1 -> row 2 covered by col2? rows are 0-indexed: col 2 in rows[1] and rows[2]. cover ok.
+    x = np.array([0.9, 0.1, 0.8, 0.4])
+    h = nearest_integer_fixing(base, x, np.zeros(3))
+    assert h.feasible
+    assert h.objective == base.costs @ np.array([1, 0, 1, 0])
+
+
+def test_nearest_integer_fixing_respects_decisions():
+    base = BaseModel(parse_scp_text(TINY))
+    node = BranchNode().child(0, 0)  # fix col0 = 0
+    x = np.array([0.9, 0.1, 0.8, 0.4])
+    h = nearest_integer_fixing(base, x, np.zeros(3), node)
+    # col0 forced off -> {2} doesn't cover row 0 -> infeasible rounding
+    assert not h.feasible
+
+
+def test_dual_guided_repair_builds_cover():
+    base = BaseModel(parse_scp_text(TINY))
+    x = np.array([0.5, 0.5, 0.5, 0.5])
+    dual = np.array([0.5, 0.3, 0.2])
+    h = dual_guided_cover_repair(base, x, dual)
+    assert h.feasible
+    assert base.is_cover(h.solution)
+    # redundancy removal should keep it minimal-ish
+    assert h.objective <= base.costs.sum()
+
+
+def test_branch_selector():
+    x = np.array([0.5, 0.9, 0.2])
+    costs = np.array([1.0, 10.0, 5.0])
+    cands = np.array([0, 1, 2])
+    assert select_branch_variable("most_fractional", x, costs, cands) == 0
+    assert select_branch_variable("highest_cost_fractional", x, costs, cands) == 1
+
+
+def test_cut_separation_valid_for_integer_covers():
+    base = BaseModel(parse_scp_text(TINY))
+    # fractional LP-ish point + plausible duals
+    x = np.array([0.5, 0.5, 0.5, 0.5])
+    dual = np.array([0.7, 0.6, 0.4])
+    cuts = separate_cuts(base, x, dual, tol=1e-6)
+    # any returned cut must hold for every integer cover (validity)
+    import itertools
+
+    for cut in cuts:
+        for bits in itertools.product([0, 1], repeat=base.ncols):
+            xx = np.asarray(bits, dtype=np.float64)
+            if base.is_cover(xx):
+                lhs = cut.values @ xx[cut.indices]
+                assert lhs + 1e-9 >= cut.rhs, (cut.kind, bits)
+
+
+def test_bnb_tiny_optimal():
+    m = parse_scp_text(TINY, name="tiny")
+    expected = scipy_milp_optimum(m)
+    cfg = SolverConfig(verbosity=0)
+    r = branch_and_bound(m, cfg)
+    assert r.status == MilpStatus.OPTIMAL
+    assert abs(r.objective - expected) < 1e-9
+    # solution is a valid cover
+    base = BaseModel(m)
+    assert base.is_cover(r.solution)
+    assert abs(base.objective_of(r.solution) - expected) < 1e-9
+
+
+@pytest.mark.parametrize("name", ["scp_demo_tiny00", "scp_demo_tiny03", "scp_demo_tiny05"])
+def test_bnb_demo_instances(data_dir, name):
+    m = read_scp_file(str(data_dir / f"{name}.txt"))
+    expected = scipy_milp_optimum(m)
+    cfg = SolverConfig(verbosity=0)
+    r = branch_and_bound(m, cfg)
+    assert r.status == MilpStatus.OPTIMAL, r
+    assert abs(r.objective - expected) < 1e-9, (r.objective, expected)
+    base = BaseModel(m)
+    assert base.is_cover(r.solution)
+
+
+def test_bnb_random_instances_vs_scipy():
+    from sypha_tpu.core.problem import ScpModel
+
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        nrows, ncols = 8, 16
+        rows = []
+        for i in range(nrows):
+            k = rng.integers(2, 5)
+            rows.append(np.sort(rng.choice(ncols, size=k, replace=False)).astype(np.int32))
+        m = ScpModel(
+            nrows=nrows,
+            ncols=ncols,
+            costs=rng.integers(1, 12, ncols).astype(np.float64),
+            rows=rows,
+            name=f"rand{trial}",
+        )
+        expected = scipy_milp_optimum(m)
+        r = branch_and_bound(m, SolverConfig(verbosity=0))
+        assert r.status == MilpStatus.OPTIMAL, (trial, r)
+        assert abs(r.objective - expected) < 1e-9, (trial, r.objective, expected)

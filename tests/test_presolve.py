@@ -1,0 +1,136 @@
+"""Presolve rules vs brute-force oracles."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from sypha_tpu import parse_scp_text, read_scp_file
+from sypha_tpu.milp.base_model import BaseModel
+from sypha_tpu.milp.presolve import (
+    _Deadline,
+    apply_presolve_rules,
+    greedy_set_cover,
+    incumbent_budget_pruning,
+    single_column_dominance,
+)
+
+
+def brute_force_scp(model: BaseModel):
+    """Exact optimum by enumeration (tiny instances only)."""
+    n = model.ncols
+    best = np.inf
+    for bits in itertools.product([0, 1], repeat=n):
+        x = np.asarray(bits, dtype=np.float64)
+        if model.is_cover(x):
+            best = min(best, model.costs @ x)
+    return best
+
+
+TINY = """3 4
+2 3 4 5
+2 1 2
+2 2 3
+3 1 3 4
+"""
+
+
+def test_greedy_cover_tiny():
+    base = BaseModel(parse_scp_text(TINY))
+    g = greedy_set_cover(base)
+    assert g.feasible
+    x = np.zeros(base.ncols)
+    x[g.selected] = 1.0
+    assert base.is_cover(x)
+    assert abs(g.objective - base.costs @ x) < 1e-12
+
+
+def test_greedy_cover_beasley(data_dir):
+    base = BaseModel(read_scp_file(str(data_dir / "scp41.txt")))
+    g = greedy_set_cover(base)
+    assert g.feasible
+    x = np.zeros(base.ncols)
+    x[g.selected] = 1.0
+    assert base.is_cover(x)
+    # reference-quality greedy should land within ~2x of the LP bound (429)
+    assert g.objective < 2 * 429
+
+
+def test_single_dominance_removes_dominated():
+    # col 0 covers {0,1} at cost 2; col 1 covers {0} at cost 3 -> dominated
+    text = "2 3\n2 3 1\n2 1 2\n1 1\n"
+    base = BaseModel(parse_scp_text(text))
+    removed = single_column_dominance(base, 1e-12, _Deadline(None))
+    assert removed >= 1
+    assert not base.active[1]
+    assert base.active[0]
+
+
+def test_dominance_preserves_optimum():
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        nrows, ncols = 6, 10
+        rows = []
+        for i in range(nrows):
+            k = rng.integers(2, 5)
+            rows.append(np.sort(rng.choice(ncols, size=k, replace=False)).astype(np.int32))
+        from sypha_tpu.core.problem import ScpModel
+
+        m = ScpModel(
+            nrows=nrows,
+            ncols=ncols,
+            costs=rng.integers(1, 10, ncols).astype(np.float64),
+            rows=rows,
+        )
+        base = BaseModel(m)
+        before = brute_force_scp(base)
+        apply_presolve_rules(base, "single,two,cost_driven", 1e-12, None)
+        # optimum restricted to active columns must be unchanged
+        best_after = np.inf
+        act = np.flatnonzero(base.active)
+        for r in range(len(act) + 1):
+            for sel in itertools.combinations(act, r):
+                x = np.zeros(ncols)
+                x[list(sel)] = 1.0
+                if base.is_cover(x):
+                    best_after = min(best_after, base.costs @ x)
+        assert best_after == before, f"trial {trial}"
+
+
+def test_budget_pruning_preserves_better_solutions():
+    rng = np.random.default_rng(11)
+    nrows, ncols = 5, 8
+    rows = []
+    for i in range(nrows):
+        k = rng.integers(2, 4)
+        rows.append(np.sort(rng.choice(ncols, size=k, replace=False)).astype(np.int32))
+    from sypha_tpu.core.problem import ScpModel
+
+    m = ScpModel(
+        nrows=nrows,
+        ncols=ncols,
+        costs=rng.integers(1, 8, ncols).astype(np.float64),
+        rows=rows,
+    )
+    base = BaseModel(m)
+    opt = brute_force_scp(base)
+    if not np.isfinite(opt):
+        pytest.skip("random instance infeasible")
+    incumbent = opt + 2.0  # a weak incumbent
+    incumbent_budget_pruning(base, incumbent)
+    # the true optimum must still be reachable with active columns
+    best_after = np.inf
+    act = np.flatnonzero(base.active)
+    for r in range(len(act) + 1):
+        for sel in itertools.combinations(act, r):
+            x = np.zeros(ncols)
+            x[list(sel)] = 1.0
+            if base.is_cover(x):
+                best_after = min(best_after, base.costs @ x)
+    assert best_after == opt
+
+
+def test_presolve_none_is_noop():
+    base = BaseModel(parse_scp_text(TINY))
+    assert apply_presolve_rules(base, "none") == 0
+    assert base.n_active == 4
