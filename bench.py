@@ -6,9 +6,10 @@ Prints ONE JSON line:
 Baseline: the reference CUDA solver solves the scp41 LP relaxation in 1.70 s
 on its benchmark GPU (benchmark/results/scp4_sypha_results.csv:2), i.e.
 ~0.59 solves/s; the rebuild's north-star target is >100 batched IPM
-solves/s/chip (BASELINE.md).  We solve all 10 scp4x LP relaxations, batch-
-replicated to fill the chip, to 1e-8 relative duality gap and report
-aggregate solves/s on one chip.
+solves/s/chip (BASELINE.md).  We solve all 10 scp4x LP relaxations to 1e-8
+relative duality gap, replicated across lanes of the shared-matrix batched
+IPM (one A per instance group, vmapped over groups — the same layout the
+B&B node solver uses), and report aggregate solves/s on one chip.
 """
 
 import json
@@ -21,14 +22,9 @@ REFERENCE_SOLVES_PER_S = 1.0 / 1.70  # scp41 LP, reference GPU
 def main():
     import numpy as np
 
-    from sypha_tpu import (
-        IpmStatus,
-        pad_lp,
-        read_scp_file,
-        solve_lp_batch,
-        stack_lps,
-    )
+    from sypha_tpu import IpmStatus, pad_lp, read_scp_file
     from sypha_tpu.config import IpmOptions
+    from sypha_tpu.ipm.shared import make_shared_batch, mehrotra_solve_shared
 
     names = [f"scp4{i}" for i in range(1, 10)] + ["scp410"]
     models = [read_scp_file(f"/root/reference/data/{n}.txt") for n in names]
@@ -39,21 +35,28 @@ def main():
     mp += (-mp) % 8
     np_ += (-np_) % 128
 
-    replicas = 10  # 10 instances x 10 = 100 lanes
-    lps = [pad_lp(m, m_pad=mp, n_pad=np_) for m in models] * replicas
-    batch = stack_lps(lps)
-    B = len(lps)
-    opts = IpmOptions()
+    lanes = 128  # lanes per instance group
+    batches = [
+        make_shared_batch(pad_lp(m, m_pad=mp, n_pad=np_), lanes) for m in models
+    ]
 
     import jax
+    import jax.numpy as jnp
+
+    grouped = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    G = len(batches)
+    B = G * lanes
+    opts = IpmOptions()
+
+    solve = jax.jit(jax.vmap(lambda g: mehrotra_solve_shared(g, opts)))
 
     # compile + warm up (device_get: block_until_ready does not actually
     # synchronise through the remote TPU tunnel)
-    st = solve_lp_batch(batch, opts, as_results=False)
+    st = solve(grouped)
     jax.device_get(st.status)
 
     t0 = time.perf_counter()
-    st = solve_lp_batch(batch, opts, as_results=False)
+    st = solve(grouped)
     status = jax.device_get(st.status)
     dt = time.perf_counter() - t0
 

@@ -30,7 +30,7 @@ from jax import lax
 from sypha_tpu.config import IpmOptions
 from sypha_tpu.core.problem import PaddedLp
 from sypha_tpu.core.status import IpmStatus
-from sypha_tpu.ops.spd import spd_factor, spd_solve
+from sypha_tpu.ops.spd import normal_eq_factor, normal_eq_solve
 
 
 @jax.tree_util.register_dataclass
@@ -66,10 +66,14 @@ def initial_point(lp: PaddedLp, opts: IpmOptions = IpmOptions()):
     positivity shifts.  ``row_pad`` regularises A A^T on pad rows."""
     A, b, c = lp.A, lp.b, lp.c
     dtype, ridge = _factor_params(opts)
-    AAT = A @ A.T + jnp.diag(lp.row_pad)
-    fac = spd_factor(AAT, dtype, ridge, opts.chol_leaf_size)
-    x = A.T @ spd_solve(fac, b, tol=1e-12, max_steps=opts.newton_max_steps)
-    y = spd_solve(fac, A @ c, tol=1e-12, max_steps=opts.newton_max_steps)
+    ones = jnp.ones(A.shape[-1], A.dtype)
+    fac = normal_eq_factor(A, ones, lp.row_pad, dtype, ridge, opts.chol_leaf_size)
+
+    def matvec(v):
+        return A @ (A.T @ v) + lp.row_pad * v
+
+    x = A.T @ normal_eq_solve(fac, matvec, b, tol=1e-12, max_steps=opts.newton_max_steps)
+    y = normal_eq_solve(fac, matvec, A @ c, tol=1e-12, max_steps=opts.newton_max_steps)
     s = c - A.T @ y
 
     delta_x = jnp.maximum(-1.5 * jnp.min(x), 0.0)
@@ -123,7 +127,6 @@ def mehrotra_solve(
     n_pad = c.shape[-1]
     norm_b = 1.0 + jnp.linalg.norm(b)
     norm_c = 1.0 + jnp.linalg.norm(c)
-    pad_diag = jnp.diag(lp.row_pad)
     dtype, ridge = _factor_params(opts)
 
     if x0 is None:
@@ -173,16 +176,21 @@ def mehrotra_solve(
 
         # --- one predictor-corrector step (computed unconditionally; lanes
         # that just finished discard it via the select below) ---
+        # Factor the normal matrix A D^2 A^T in f32 on the MXU; the f64 side
+        # of each Newton solve stays matrix-free (2 GEMVs per PCG step),
+        # which avoids every O(m^2 n) emulated-f64 GEMM.
         d2 = jnp.clip(x / s, opts.d2_min, opts.d2_max)
-        M = (A * d2[None, :]) @ A.T + pad_diag
-        fac = spd_factor(M, dtype, ridge, opts.chol_leaf_size)
+        fac = normal_eq_factor(A, d2, lp.row_pad, dtype, ridge, opts.chol_leaf_size)
+
+        def matvec(v):
+            return A @ (d2 * (A.T @ v)) + lp.row_pad * v
 
         s_safe = jnp.maximum(s, 1e-300)
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
-            f = -r_b - A @ (d2 * r_c) + A @ vec1
-            dy = spd_solve(fac, f, opts.newton_tol, opts.newton_max_steps)
+            f = A @ (vec1 - d2 * r_c) - r_b
+            dy = normal_eq_solve(fac, matvec, f, opts.newton_tol, opts.newton_max_steps)
             ds = -r_c - A.T @ dy
             dx = -vec1 - d2 * ds
             return dx, dy, ds

@@ -67,6 +67,109 @@ def _apply_precond(Linv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
     return z.astype(r.dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NormalEqFactor:
+    """Preconditioner factor of the normal matrix M = A D^2 A^T + diag(r).
+
+    Built entirely in the factor dtype (one f32 MXU GEMM + block Cholesky)
+    without ever forming M in f64 — the f64 side of the Newton solve stays
+    matrix-free (see ``normal_eq_solve``).  This is the TPU counterpart of
+    the reference never materialising A D^2 A^T on its Krylov path
+    (src/sypha_solver_krylov.cu:305-329).
+
+    Linv: [..., m, m] inverse Cholesky of the equilibrated M (factor dtype)
+    dinv: [..., m] equilibration scales 1/sqrt(diag M) (factor dtype)
+    """
+
+    Linv: jnp.ndarray
+    dinv: jnp.ndarray
+
+
+def normal_eq_factor(
+    A: jnp.ndarray,
+    d2: jnp.ndarray,
+    row_reg: jnp.ndarray,
+    factor_dtype=jnp.float32,
+    ridge: float = 2e-6,
+    leaf_size: int = 64,
+) -> NormalEqFactor:
+    """Factor M = A diag(d2) A^T + diag(row_reg) in ``factor_dtype``.
+
+    A: [..., m, n] (any float dtype), d2: [..., n] >= 0, row_reg: [..., m].
+    The GEMM runs on the MXU in the factor dtype; symmetry/PSD-ness is exact
+    because M is formed as Aw @ Aw^T with Aw = A * sqrt(d2).
+    """
+    ft = factor_dtype
+    Aw = A.astype(ft) * jnp.sqrt(d2).astype(ft)[..., None, :]
+    M = jnp.einsum("...ik,...jk->...ij", Aw, Aw, preferred_element_type=ft)
+    m = M.shape[-1]
+    M = M + row_reg.astype(ft)[..., :] * jnp.eye(m, dtype=ft)
+    diag = jnp.diagonal(M, axis1=-2, axis2=-1)
+    dinv = lax.rsqrt(jnp.maximum(diag, jnp.asarray(1e-30, ft)))
+    Ms = M * dinv[..., None, :] * dinv[..., :, None]
+    Ms = Ms + jnp.asarray(ridge, ft) * jnp.eye(m, dtype=ft)
+    Linv = block_chol_inverse(Ms, leaf_size=leaf_size)
+    return NormalEqFactor(Linv=Linv, dinv=dinv)
+
+
+def _apply_normal_precond(fac: NormalEqFactor, r: jnp.ndarray) -> jnp.ndarray:
+    """P r = Dg L^{-T} L^{-1} Dg r in the factor dtype, returned in r.dtype."""
+    rf = fac.dinv * r.astype(fac.dinv.dtype)
+    z = jnp.einsum("...ij,...j->...i", fac.Linv, rf)
+    z = jnp.einsum("...ji,...j->...i", fac.Linv, z)
+    return (fac.dinv * z).astype(r.dtype)
+
+
+def normal_eq_solve(
+    fac: NormalEqFactor,
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    f: jnp.ndarray,
+    tol: jnp.ndarray | float = 1e-10,
+    max_steps: int = 40,
+) -> jnp.ndarray:
+    """Solve M x = f with flexible PCG in f.dtype (f64), matrix-free.
+
+    ``matvec`` applies the exact f64 operator v -> A (d2 * (A^T v)) + reg*v;
+    the f32 factor is only a preconditioner, so the result converges to full
+    f64 accuracy at ~2 cheap matvecs per step instead of an O(m^2 n) f64
+    GEMM per IPM iteration.
+    """
+    norm_f = jnp.linalg.norm(f, axis=-1, keepdims=True)
+    thresh = tol * jnp.maximum(norm_f, 1e-300)
+
+    x0 = _apply_normal_precond(fac, f)
+    r0 = f - matvec(x0)
+    z0 = _apply_normal_precond(fac, r0)
+    rz0 = jnp.sum(r0 * z0, axis=-1, keepdims=True)
+
+    def cond(carry):
+        x, r, z, p, rz, k = carry
+        rnorm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+        return jnp.logical_and(k < max_steps, jnp.any(rnorm > thresh))
+
+    def body(carry):
+        x, r, z, p, rz, k = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=-1, keepdims=True)
+        ok = pAp > 0.0
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+        x_new = x + alpha * p
+        r_new = r - alpha * Ap
+        z_new = _apply_normal_precond(fac, r_new)
+        rz_new = jnp.sum(r_new * z_new, axis=-1, keepdims=True)
+        # flexible (Polak-Ribiere) beta: robust to the inexact f32 precond
+        num = jnp.sum((r_new - r) * z_new, axis=-1, keepdims=True)
+        beta = jnp.where(jnp.abs(rz) > 0, num / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0)
+        p_new = z_new + beta * p
+        return (x_new, r_new, z_new, p_new, rz_new, k + 1)
+
+    x, *_ = lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
+    )
+    return x
+
+
 def spd_solve(
     fac: SpdFactor,
     f: jnp.ndarray,
