@@ -154,14 +154,19 @@ def mehrotra_solve(
         res_p = jnp.linalg.norm(r_b) / norm_b
         res_d = jnp.linalg.norm(r_c) / norm_c
 
-        converged = jnp.logical_or(
-            jnp.logical_and(
-                gap < opts.tol_gap,
-                jnp.logical_and(res_p < opts.tol_feas, res_d < opts.tol_feas),
-            ),
-            mu < opts.mu_tol_hard,
+        feasible = jnp.logical_and(res_p < opts.tol_feas, res_d < opts.tol_feas)
+        tiny_mu = mu < opts.mu_tol_hard
+        converged = jnp.logical_and(
+            feasible, jnp.logical_or(gap < opts.tol_gap, tiny_mu)
         )
-        diverged = jnp.logical_or(~jnp.isfinite(mu), mu > opts.mu_max)
+        # mu -> 0 with a stubborn primal residual is the complementarity
+        # signature of an infeasible LP (e.g. a B&B node whose fixings make
+        # the cover impossible) — the reference reaches the same verdict via
+        # its numerical-failure paths (SURVEY §5 failure detection).
+        infeasible = jnp.logical_and(tiny_mu, res_p > 1e3 * opts.tol_feas)
+        diverged = jnp.logical_or(
+            jnp.logical_or(~jnp.isfinite(mu), mu > opts.mu_max), infeasible
+        )
         hit_max = st.iterations >= opts.max_iter
 
         # gap-stagnation monitor (reference src/sypha_solver.cpp:739-769)

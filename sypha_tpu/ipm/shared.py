@@ -274,10 +274,13 @@ def mehrotra_solve_shared(
         res_p = jnp.linalg.norm(r_b, axis=-1) / norm_b
         res_d = jnp.linalg.norm(r_c, axis=-1) / norm_c
 
-        converged = ((gap < opts.tol_gap)
-                     & (res_p < opts.tol_feas)
-                     & (res_d < opts.tol_feas)) | (mu < opts.mu_tol_hard)
-        diverged = ~jnp.isfinite(mu) | (mu > opts.mu_max)
+        feasible = (res_p < opts.tol_feas) & (res_d < opts.tol_feas)
+        tiny_mu = mu < opts.mu_tol_hard
+        converged = feasible & ((gap < opts.tol_gap) | tiny_mu)
+        # mu -> 0 with a stubborn primal residual = infeasible lane (a node
+        # whose fixings make the cover impossible); see ipm.dense.
+        infeasible = tiny_mu & (res_p > 1e3 * opts.tol_feas)
+        diverged = ~jnp.isfinite(mu) | (mu > opts.mu_max) | infeasible
         hit_max = st.iterations >= opts.max_iter
 
         improved = gap < st.best_gap * (1.0 - opts.gap_stall_min_improv)

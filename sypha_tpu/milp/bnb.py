@@ -90,40 +90,42 @@ def tighten_dual_bound(bound: float, tol: float) -> float:
 
 
 class _NodeLpSolver:
-    """Owns the padded base LP on device and the bucket bookkeeping."""
+    """Owns the padded base LP on device and the bucket bookkeeping.
+
+    Branch decisions are per-lane column fixings on the shared-matrix
+    batched IPM (ipm.node_batch) — the model shape never changes with tree
+    depth, so the whole B&B runs on one compiled executable per base model.
+    """
+
+    # row/column headroom reserved for future cuts so appending cuts does not
+    # change the padded bucket (and so does not trigger an XLA recompile)
+    CUT_HEADROOM = 64
 
     def __init__(self, base: BaseModel, cfg: SolverConfig, log: Logger):
         self.base = base
         self.cfg = cfg
         self.log = log
-        self.branch_budget = 16
         self._device_base = None
-        self._bucket = None
+        self._inactive = None
+        self._bucket = (0, 0)  # sticky: only grows, to keep compiles cached
 
     def _rebuild_device_base(self):
-        import jax.numpy as jnp
-
         A, b, c, n0 = self.base.standard_form(None)
         m0, n_real = A.shape[0], A.shape[1]
-        R = self.branch_budget
-        mp = _round_up(m0 + R, 32)
-        np_ = _round_up(n_real + R, 128)
+        mp = max(self._bucket[0], _round_up(m0 + self.CUT_HEADROOM, 32))
+        np_ = max(self._bucket[1], _round_up(n_real + self.CUT_HEADROOM, 128))
+        self._bucket = (mp, np_)
         lp = pad_standard_form(A, b, c, n_struct=n0, m_pad=mp, n_pad=np_)
         self._device_base = lp
-        self._bucket = (mp, np_, m0, n_real)
-        self.log.debug(
-            f"node-LP bucket: base {m0}x{n_real} padded to {mp}x{np_} "
-            f"(branch budget {R})"
-        )
+        # presolve-masked columns are fixed to 0 in every lane
+        inactive = np.zeros(np_, dtype=np.float64)
+        inactive[: self.base.ncols] = ~self.base.active
+        self._inactive = inactive
+        self.log.debug(f"node-LP bucket: base {m0}x{n_real} padded to {mp}x{np_}")
 
     def refresh(self):
         """Base model changed (cuts appended or columns masked)."""
         self._device_base = None
-
-    def ensure_budget(self, depth_needed: int):
-        while self.branch_budget < depth_needed:
-            self.branch_budget *= 2
-            self._device_base = None
 
     def solve_nodes(self, nodes: List[BranchNode], opts):
         """Solve a batch of node LPs; returns host-side per-node dicts."""
@@ -132,34 +134,35 @@ class _NodeLpSolver:
 
         from sypha_tpu.ipm.node_batch import solve_node_batch
 
-        self.ensure_budget(max((len(n.decisions) for n in nodes), default=0))
         if self._device_base is None:
             self._rebuild_device_base()
 
-        B = len(nodes)
-        R = self.branch_budget
-        bvars = np.zeros((B, R), dtype=np.int32)
-        bsigns = np.zeros((B, R), dtype=np.float64)
-        bcount = np.zeros(B, dtype=np.int32)
-        for li, node in enumerate(nodes):
-            for di, d in enumerate(node.decisions):
-                bvars[li, di] = d.var
-                bsigns[li, di] = 1.0 if d.value == 1 else -1.0
-            bcount[li] = len(node.decisions)
+        # pad the lane count to a fixed ladder (1, then multiples of the
+        # window size) by replicating the last node, so XLA compiles one
+        # executable per rung instead of one per frontier size
+        B_real = len(nodes)
+        B = 1 if B_real == 1 else _round_up(B_real, self.cfg.bnb.node_batch)
+        np_ = self._device_base.n_pad
+        fix0 = np.broadcast_to(self._inactive, (B, np_)).copy()
+        fix1 = np.zeros((B, np_), dtype=np.float64)
+        for li in range(B):
+            node = nodes[min(li, B_real - 1)]
+            for d in node.decisions:
+                if d.value == 1:
+                    fix1[li, d.var] = 1.0
+                    fix0[li, d.var] = 0.0
+                else:
+                    fix0[li, d.var] = 1.0
 
-        st, pobj, dobj = solve_node_batch(
-            self._device_base,
-            jnp.asarray(bvars),
-            jnp.asarray(bsigns),
-            jnp.asarray(bcount),
-            opts,
+        st, x_full, pobj, dobj = solve_node_batch(
+            self._device_base, jnp.asarray(fix0), jnp.asarray(fix1), opts
         )
         host = jax.device_get(
             {
                 "status": st.status,
                 "iterations": st.iterations,
                 "gap": st.gap,
-                "x": st.x,
+                "x": x_full,
                 "y": st.y,
                 "pobj": pobj,
                 "dobj": dobj,
@@ -168,7 +171,7 @@ class _NodeLpSolver:
         n0 = self.base.ncols
         m_all = self.base.nrows  # covering + global cut rows
         out = []
-        for li in range(B):
+        for li in range(B_real):
             out.append(
                 {
                     "status": IpmStatus(int(host["status"][li])),
@@ -254,6 +257,13 @@ def branch_and_bound(
     def solve_single(node: BranchNode):
         return solver.solve_nodes([node], ipm_opts)[0]
 
+    def integral_cover(res) -> bool:
+        """LP point is 0/1-integral AND a genuine cover (an infeasible lane
+        can terminate on an all-zero, trivially 'integral' point)."""
+        return is_binary_integral(res["x"], base.ncols, int_tol) and base.is_cover(
+            np.clip(np.floor(res["x"] + 0.5), 0, 1)
+        )
+
     def try_heuristics(res, node) -> bool:
         nonlocal global_lower
         improved = False
@@ -272,10 +282,7 @@ def branch_and_bound(
     root_ok = res["status"] in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER)
     if root_ok:
         try_heuristics(res, root)
-        if (
-            is_binary_integral(res["x"], base.ncols, int_tol)
-            and res["pobj"] < best_obj - px_tol
-        ):
+        if integral_cover(res) and res["pobj"] < best_obj - px_tol:
             adopt(res["x"], "presolve_exact_root_lp", res["pobj"])
         if res["status"] == IpmStatus.CONVERGED and res["dobj"] <= res["pobj"] + 1e-6:
             root_dual = res["dobj"]
@@ -312,10 +319,7 @@ def branch_and_bound(
                 if obj_is_integral:
                     cut_dual = tighten_dual_bound(cut_dual, int_tol)
                 global_lower = min(global_lower, cut_dual)
-            if (
-                is_binary_integral(res["x"], base.ncols, int_tol)
-                and res["pobj"] < best_obj - px_tol
-            ):
+            if integral_cover(res) and res["pobj"] < best_obj - px_tol:
                 adopt(res["x"], "cut_round_exact", res["pobj"])
                 log.info(f"Cut round {cut_round + 1}: LP integral, incumbent {best_obj:.12g}")
                 break
@@ -457,7 +461,11 @@ def branch_and_bound(
 
         for node, res in zip(batch, results):
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
-                if processed == 0:
+                # an infeasible node is simply pruned; an infeasible *root*
+                # with an incumbent means presolve proved the incumbent
+                # optimal (reductions only mask columns that cannot improve
+                # on it), so only abort when there is no incumbent either
+                if processed == 0 and not np.isfinite(best_obj):
                     log.info("Root LP infeasible or numerically unstable; aborting BnB")
                     return MilpResult(
                         status=MilpStatus.ABNORMAL,
@@ -502,7 +510,7 @@ def branch_and_bound(
             if node_dual >= best_obj - px_tol:
                 continue
 
-            if is_binary_integral(res["x"], base.ncols, int_tol):
+            if integral_cover(res):
                 if res["pobj"] < best_obj - px_tol:
                     x_int = np.clip(np.floor(res["x"] + 0.5), 0, 1)
                     adopt(x_int, "exact_node", float(base.costs @ x_int))
