@@ -24,12 +24,25 @@ so the numeric core runs f64 by default.  x64 must be enabled before any JAX
 computation, hence the config update at import time.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 # On TPU, f32 matmuls default to bf16 MXU passes (~1e-2 relative error) —
 # fatal for the f32 Cholesky factors in ops.linalg.  Force true-f32 matmuls.
 _jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: XLA:TPU compiles of the jitted solver loops
+# take tens of seconds (worse through a remote-compile tunnel); caching them
+# on disk makes every solver start after the first ~10x faster.  Override
+# the location with SYPHA_TPU_CACHE_DIR; disable with SYPHA_TPU_CACHE_DIR="".
+_cache_dir = _os.environ.get(
+    "SYPHA_TPU_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "sypha_tpu", "xla"),
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from sypha_tpu.config import SolverConfig, IpmOptions  # noqa: E402
 from sypha_tpu.core.status import IpmStatus, MilpStatus  # noqa: E402
@@ -41,10 +54,25 @@ from sypha_tpu.io.standard_form import (  # noqa: E402
     stack_lps,
 )
 from sypha_tpu.ipm.driver import solve_lp, solve_lp_batch  # noqa: E402
+from sypha_tpu.ipm.shared import (  # noqa: E402
+    SharedLpBatch,
+    make_shared_batch,
+    mehrotra_solve_shared,
+)
+from sypha_tpu.api import Solver, SolverParameters, ResultStatus  # noqa: E402
+from sypha_tpu.milp.bnb import MilpResult, branch_and_bound  # noqa: E402
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "Solver",
+    "SolverParameters",
+    "ResultStatus",
+    "MilpResult",
+    "branch_and_bound",
+    "SharedLpBatch",
+    "make_shared_batch",
+    "mehrotra_solve_shared",
     "SolverConfig",
     "IpmOptions",
     "IpmStatus",

@@ -1,0 +1,529 @@
+"""OR-Tools-style modeling API (reference include/sypha/sypha.h:114-150,
+src/sypha_api.cpp).
+
+Mirrors the reference surface: ``Solver`` with ``MakeNumVar/MakeIntVar/
+MakeBoolVar``, ``MakeRowConstraint(lb, ub)``, ``MutableObjective()`` with
+min/max + offset, ``Solve() -> ResultStatus``, and accessors for objective /
+dual bound / gap / iterations / wall time.  ``SolverParameters`` mirrors the
+reference's struct field-for-field (include/sypha/sypha.h:19-42).
+
+Standard-form conversion follows src/sypha_api.cpp:136-250: equality rows
+as-is, >= rows + surplus, <= rows negated + surplus, ranges split into two
+rows; maximization is cost negation + offset remap (:379-385).  One
+deliberate fix over the reference: range constraints report the *net* dual
+(ge-row dual minus le-row dual) instead of indexing duals by constraint
+ordinal (which misaligns once a range splits into two rows).
+
+Solve routing (src/sypha_api.cpp:337-434): LP path when there are no
+integer variables or ``disable_bnb``; otherwise MILP.  Pure set-covering
+models take the full SCP branch-and-bound (presolve + heuristics + cuts);
+other binary models take a generic B&B over the shared-matrix batched IPM
+with column-fixing branches.
+"""
+
+from __future__ import annotations
+
+import enum
+import math
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from sypha_tpu.config import BnbOptions, IpmOptions, SolverConfig
+from sypha_tpu.core.problem import ScpModel
+from sypha_tpu.core.status import IpmStatus, MilpStatus
+from sypha_tpu.utils.logging import Logger
+
+INFINITY = 1e50  # reference kPxInfinity (src/sypha_environment_defaults.h:8)
+
+
+class ResultStatus(enum.Enum):
+    OPTIMAL = "OPTIMAL"
+    FEASIBLE = "FEASIBLE"
+    INFEASIBLE = "INFEASIBLE"
+    NOT_SOLVED = "NOT_SOLVED"
+    ABNORMAL = "ABNORMAL"
+
+
+@dataclass
+class SolverParameters:
+    """Field-for-field mirror of reference include/sypha/sypha.h:19-42."""
+
+    verbosity: int = 5
+    mehrotra_max_iter: int = 60
+    bnb_max_nodes: int = 100000
+    bnb_hard_time_limit_sec: float = 0.0
+    bnb_log_interval_sec: float = 5.0
+    bnb_gap_stagnation_window: int = 50
+    bnb_gap_stall_iters: int = 5
+    bnb_gap_stall_min_improv_pct: float = 1.0
+    integrality_tol: float = 1e-6
+    bnb_var_selection: str = "most_fractional"
+    bnb_heuristics: str = "nearest_integer_fixing,dual_guided_cover_repair"
+    preprocess_strategies: str = "single_column_dominance,two_column_dominance"
+    preprocess_time_limit_sec: float = 5.0
+    disable_bnb: bool = False
+    show_solution: bool = False
+    linear_solver_strategy: str = "auto"
+    krylov_max_cg_iter: int = 500
+    krylov_cg_tol_initial: float = 1e-2
+    krylov_cg_tol_final: float = 1e-8
+    krylov_cg_tol_decay_rate: float = 0.5
+
+    def to_config(self) -> SolverConfig:
+        return SolverConfig(
+            verbosity=self.verbosity,
+            linear_solver=self.linear_solver_strategy,
+            disable_bnb=self.disable_bnb,
+            show_solution=self.show_solution,
+            preprocess_time_limit_sec=self.preprocess_time_limit_sec,
+            preprocess_column_strategies=self.preprocess_strategies,
+            ipm=IpmOptions(max_iter=self.mehrotra_max_iter),
+            bnb=BnbOptions(
+                max_nodes=self.bnb_max_nodes,
+                hard_time_limit_sec=self.bnb_hard_time_limit_sec,
+                log_interval_sec=self.bnb_log_interval_sec,
+                gap_stagnation_window=self.bnb_gap_stagnation_window,
+                gap_stall_branch_iters=self.bnb_gap_stall_iters,
+                gap_stall_min_improv_pct=self.bnb_gap_stall_min_improv_pct,
+                integrality_tol=self.integrality_tol,
+                var_selection=self.bnb_var_selection,
+                int_heuristics=self.bnb_heuristics,
+            ),
+        )
+
+
+class Variable:
+    def __init__(self, index: int, lb: float, ub: float, integer: bool, name: str):
+        self._index = index
+        self._lb = lb
+        self._ub = ub
+        self._integer = integer
+        self._name = name
+        self._solution_value = 0.0
+
+    def name(self) -> str:
+        return self._name
+
+    def solution_value(self) -> float:
+        return self._solution_value
+
+    def lb(self) -> float:
+        return self._lb
+
+    def ub(self) -> float:
+        return self._ub
+
+    def index(self) -> int:
+        return self._index
+
+    def integer(self) -> bool:
+        return self._integer
+
+
+class Constraint:
+    def __init__(self, index: int, lb: float, ub: float, name: str):
+        self._index = index
+        self._lb = lb
+        self._ub = ub
+        self._name = name
+        self._coeffs: Dict[int, float] = {}
+        self._dual_value = 0.0
+
+    def name(self) -> str:
+        return self._name
+
+    def SetCoefficient(self, var: Variable, coeff: float) -> None:
+        self._coeffs[var.index()] = float(coeff)
+
+    def GetCoefficient(self, var: Variable) -> float:
+        return self._coeffs.get(var.index(), 0.0)
+
+    def SetBounds(self, lb: float, ub: float) -> None:
+        self._lb, self._ub = lb, ub
+
+    def lb(self) -> float:
+        return self._lb
+
+    def ub(self) -> float:
+        return self._ub
+
+    def dual_value(self) -> float:
+        return self._dual_value
+
+
+class Objective:
+    def __init__(self):
+        self._coeffs: Dict[int, float] = {}
+        self._maximize = False
+        self._offset = 0.0
+        self._value = 0.0
+        self._best_bound = 0.0
+
+    def SetCoefficient(self, var: Variable, coeff: float) -> None:
+        self._coeffs[var.index()] = float(coeff)
+
+    def GetCoefficient(self, var: Variable) -> float:
+        return self._coeffs.get(var.index(), 0.0)
+
+    def SetMinimization(self) -> None:
+        self._maximize = False
+
+    def SetMaximization(self) -> None:
+        self._maximize = True
+
+    def SetOffset(self, offset: float) -> None:
+        self._offset = float(offset)
+
+    def Value(self) -> float:
+        return self._value
+
+    def BestBound(self) -> float:
+        return self._best_bound
+
+    def Clear(self) -> None:
+        self._coeffs.clear()
+        self._maximize = False
+        self._offset = 0.0
+
+
+class Solver:
+    """TPU-native counterpart of sypha::Solver (src/sypha_api.cpp:444-532)."""
+
+    def __init__(self, name: str = ""):
+        self._name = name
+        self._variables: List[Variable] = []
+        self._constraints: List[Constraint] = []
+        self._objective = Objective()
+        self._params = SolverParameters()
+        self._status = ResultStatus.NOT_SOLVED
+        self._objective_value = math.nan
+        self._dual_objective_value = math.nan
+        self._mip_gap = math.inf
+        self._iterations = 0
+        self._nodes = 0
+        self._wall_time = 0.0
+
+    # ---- model building ----
+
+    def MakeNumVar(self, lb: float, ub: float, name: str) -> Variable:
+        v = Variable(len(self._variables), lb, ub, False, name)
+        self._variables.append(v)
+        return v
+
+    def MakeIntVar(self, lb: float, ub: float, name: str) -> Variable:
+        v = Variable(len(self._variables), lb, ub, True, name)
+        self._variables.append(v)
+        return v
+
+    def MakeBoolVar(self, name: str) -> Variable:
+        return self.MakeIntVar(0.0, 1.0, name)
+
+    def MakeRowConstraint(self, lb: float, ub: float, name: str = "") -> Constraint:
+        c = Constraint(len(self._constraints), lb, ub, name)
+        self._constraints.append(c)
+        return c
+
+    def MutableObjective(self) -> Objective:
+        return self._objective
+
+    # ---- accessors ----
+
+    def num_variables(self) -> int:
+        return len(self._variables)
+
+    def num_constraints(self) -> int:
+        return len(self._constraints)
+
+    def objective_value(self) -> float:
+        return self._objective_value
+
+    def dual_objective_value(self) -> float:
+        return self._dual_objective_value
+
+    def mip_gap(self) -> float:
+        return self._mip_gap
+
+    def iterations(self) -> int:
+        return self._iterations
+
+    def nodes(self) -> int:
+        return self._nodes
+
+    def wall_time(self) -> float:
+        return self._wall_time
+
+    def parameters(self) -> SolverParameters:
+        return self._params
+
+    @staticmethod
+    def infinity() -> float:
+        return INFINITY
+
+    # ---- standard form (reference buildStandardForm, sypha_api.cpp:136-250) ----
+
+    def _build_standard_form(self):
+        n = len(self._variables)
+        # row infos: (constraint idx, is_ge, is_equality, rhs)
+        row_infos: List[Tuple[int, bool, bool, float]] = []
+        for ci, c in enumerate(self._constraints):
+            has_lb = math.isfinite(c.lb()) and c.lb() > -INFINITY / 2
+            has_ub = math.isfinite(c.ub()) and c.ub() < INFINITY / 2
+            if has_lb and has_ub and abs(c.lb() - c.ub()) <= 1e-15:
+                row_infos.append((ci, True, True, c.lb()))
+            elif has_lb and has_ub:
+                row_infos.append((ci, True, False, c.lb()))
+                row_infos.append((ci, False, False, c.ub()))
+            elif has_lb:
+                row_infos.append((ci, True, False, c.lb()))
+            elif has_ub:
+                row_infos.append((ci, False, False, c.ub()))
+            else:
+                row_infos.append((ci, True, True, 0.0))
+
+        m = len(row_infos)
+        n_slacks = sum(1 for _, _, eq, _ in row_infos if not eq)
+        n_total = n + n_slacks
+        A = np.zeros((m, n_total), dtype=np.float64)
+        b = np.zeros(m, dtype=np.float64)
+        obj_sign = -1.0 if self._objective._maximize else 1.0
+        cvec = np.zeros(n_total, dtype=np.float64)
+        for j, coeff in self._objective._coeffs.items():
+            cvec[j] = obj_sign * coeff
+
+        slack = n
+        for ri, (ci, is_ge, is_eq, rhs) in enumerate(row_infos):
+            sgn = 1.0 if (is_ge or is_eq) else -1.0
+            for j, coeff in self._constraints[ci]._coeffs.items():
+                A[ri, j] = sgn * coeff
+            if not is_eq:
+                A[ri, slack] = -1.0
+                slack += 1
+            b[ri] = sgn * rhs
+        return A, b, cvec, n, row_infos
+
+    # ---- SCP structure detection (for the full B&B path) ----
+
+    def _as_scp_model(self) -> Optional[ScpModel]:
+        """If the model is a pure set-covering MILP (all-binary vars, unit
+        coefficients, every constraint 'sum >= 1', minimization), return the
+        equivalent ScpModel so the MILP path can use the full SCP machinery
+        (presolve, greedy, cover heuristics, CG cuts)."""
+        if self._objective._maximize:
+            return None
+        if not all(v.integer() for v in self._variables):
+            return None
+        rows = []
+        for c in self._constraints:
+            lb_fin = math.isfinite(c.lb()) and c.lb() > -INFINITY / 2
+            ub_fin = math.isfinite(c.ub()) and c.ub() < INFINITY / 2
+            if not lb_fin or ub_fin or abs(c.lb() - 1.0) > 1e-12:
+                return None
+            if not c._coeffs or any(abs(v - 1.0) > 1e-12 for v in c._coeffs.values()):
+                return None
+            rows.append(np.asarray(sorted(c._coeffs.keys()), dtype=np.int32))
+        n = len(self._variables)
+        costs = np.zeros(n, dtype=np.float64)
+        for j, coeff in self._objective._coeffs.items():
+            costs[j] = coeff
+        if np.any(costs < 0):
+            return None
+        return ScpModel(
+            nrows=len(rows), ncols=n, costs=costs, rows=rows, name=self._name
+        )
+
+    # ---- solve ----
+
+    def Solve(self) -> ResultStatus:
+        t0 = time.monotonic()
+        cfg = self._params.to_config()
+        log = Logger(verbosity=cfg.verbosity)
+        has_int = any(v.integer() for v in self._variables)
+        use_lp = (not has_int) or self._params.disable_bnb
+
+        if use_lp:
+            self._solve_lp_path(cfg, log)
+        else:
+            scp = self._as_scp_model()
+            if scp is not None:
+                self._solve_scp_milp(scp, cfg, log)
+            else:
+                self._solve_generic_milp(cfg, log)
+
+        self._wall_time = time.monotonic() - t0
+        self._objective._value = self._objective_value
+        self._objective._best_bound = self._dual_objective_value
+        return self._status
+
+    def _remap_objectives(self, pobj: float, dobj: float):
+        off = self._objective._offset
+        if self._objective._maximize:
+            self._objective_value = -pobj + off
+            self._dual_objective_value = -dobj + off
+        else:
+            self._objective_value = pobj + off
+            self._dual_objective_value = dobj + off
+
+    def _solve_lp_path(self, cfg: SolverConfig, log: Logger):
+        from sypha_tpu.io.standard_form import pad_standard_form
+        from sypha_tpu.ipm.driver import solve_lp
+
+        A, b, cvec, n, row_infos = self._build_standard_form()
+        if A.shape[0] == 0 or n == 0:
+            self._status = ResultStatus.ABNORMAL
+            return
+        lp = pad_standard_form(A, b, cvec, n_struct=n)
+        res = solve_lp(lp, cfg.ipm)
+        self._iterations = res.iterations
+        self._nodes = 0
+        self._mip_gap = res.gap
+
+        if res.status == IpmStatus.INFEASIBLE_OR_NUMERICAL:
+            self._status = ResultStatus.INFEASIBLE
+            return
+
+        x = res.x
+        for v in self._variables:
+            v._solution_value = float(x[v.index()])
+        pobj = float(
+            sum(
+                self._objective._coeffs.get(v.index(), 0.0)
+                * (-1.0 if self._objective._maximize else 1.0)
+                * v._solution_value
+                for v in self._variables
+            )
+        )
+        # net duals per user constraint (ge rows +y, le rows -y)
+        duals = np.zeros(len(self._constraints))
+        for ri, (ci, is_ge, is_eq, _) in enumerate(row_infos):
+            yv = float(res.y[ri])
+            duals[ci] += yv if (is_ge or is_eq) else -yv
+        sgn = -1.0 if self._objective._maximize else 1.0
+        for ci, c in enumerate(self._constraints):
+            c._dual_value = sgn * duals[ci]
+
+        self._remap_objectives(pobj, res.dual_objective)
+        self._status = (
+            ResultStatus.OPTIMAL
+            if res.status == IpmStatus.CONVERGED
+            else ResultStatus.FEASIBLE
+        )
+
+    def _solve_scp_milp(self, scp: ScpModel, cfg: SolverConfig, log: Logger):
+        from sypha_tpu.milp.bnb import branch_and_bound
+
+        r = branch_and_bound(scp, cfg, log)
+        self._iterations = r.total_lp_iterations
+        self._nodes = r.nodes_processed
+        self._mip_gap = r.mip_gap
+        if r.status in (MilpStatus.NOT_SOLVED, MilpStatus.ABNORMAL) or not np.isfinite(
+            r.objective
+        ):
+            self._status = (
+                ResultStatus.INFEASIBLE
+                if r.status == MilpStatus.ABNORMAL
+                else ResultStatus.NOT_SOLVED
+            )
+            return
+        for v in self._variables:
+            v._solution_value = float(r.solution[v.index()])
+        self._remap_objectives(r.objective, r.dual_bound)
+        self._status = (
+            ResultStatus.OPTIMAL
+            if r.status == MilpStatus.OPTIMAL
+            else ResultStatus.FEASIBLE
+        )
+
+    def _solve_generic_milp(self, cfg: SolverConfig, log: Logger):
+        """Generic binary B&B on the shared-matrix batched IPM: LP-bound
+        pruning + most-fractional branching via column fixings.  Covers
+        API models that are MILP but not pure set covering (the reference
+        routes these into its SCP B&B unchanged; we keep the LP machinery
+        shared but skip the covering-specific presolve/heuristics/cuts)."""
+        import jax.numpy as jnp
+
+        from sypha_tpu.io.standard_form import pad_standard_form
+        from sypha_tpu.ipm.node_batch import solve_node_batch
+
+        for v in self._variables:
+            if v.integer() and not (abs(v.lb()) < 1e-12 and abs(v.ub() - 1.0) < 1e-12):
+                raise NotImplementedError(
+                    "generic MILP supports binary integer variables only "
+                    "(matching the reference's 0/1 branching)"
+                )
+
+        A, b, cvec, n, row_infos = self._build_standard_form()
+        lp = pad_standard_form(A, b, cvec, n_struct=n)
+        np_ = lp.n_pad
+        int_idx = np.asarray([v.index() for v in self._variables if v.integer()])
+        int_tol = self._params.integrality_tol
+
+        best = np.inf
+        best_x = None
+        # frontier entries: (fix0 set, fix1 set, parent bound)
+        frontier = [(frozenset(), frozenset(), -np.inf)]
+        nodes = 0
+        iters = 0
+        t0 = time.monotonic()
+        limit = self._params.bnb_hard_time_limit_sec
+
+        while frontier and nodes < self._params.bnb_max_nodes:
+            if limit > 0 and time.monotonic() - t0 > limit:
+                break
+            batch = [frontier.pop() for _ in range(min(len(frontier), cfg.bnb.node_batch))]
+            batch = [nd for nd in batch if nd[2] < best - 1e-9]
+            if not batch:
+                continue
+            B = len(batch)
+            fix0 = np.zeros((B, np_))
+            fix1 = np.zeros((B, np_))
+            for li, (f0, f1, _) in enumerate(batch):
+                fix0[li, list(f0)] = 1.0
+                fix1[li, list(f1)] = 1.0
+            st, x_full, pobj, dobj = solve_node_batch(
+                lp, jnp.asarray(fix0), jnp.asarray(fix1), cfg.ipm
+            )
+            import jax
+
+            host = jax.device_get(
+                {"status": st.status, "it": st.iterations, "x": x_full,
+                 "pobj": pobj, "dobj": dobj}
+            )
+            for li, (f0, f1, pb) in enumerate(batch):
+                status = IpmStatus(int(host["status"][li]))
+                iters += int(host["it"][li])
+                nodes += 1
+                if status == IpmStatus.INFEASIBLE_OR_NUMERICAL:
+                    continue
+                nd = float(host["dobj"][li]) if status == IpmStatus.CONVERGED else pb
+                if nd >= best - 1e-9:
+                    continue
+                x = host["x"][li]
+                frac = np.abs(x[int_idx] - np.round(x[int_idx]))
+                if np.all(frac <= int_tol):
+                    obj = float(host["pobj"][li])
+                    if obj < best - 1e-9:
+                        best = obj
+                        best_x = x.copy()
+                    continue
+                j = int(int_idx[np.argmax(np.minimum(frac, 1 - frac))])
+                frontier.append((f0 | {j}, f1, nd))
+                frontier.append((f0, f1 | {j}, nd))
+
+        self._nodes = nodes
+        self._iterations = iters
+        if best_x is None:
+            self._status = ResultStatus.NOT_SOLVED
+            self._mip_gap = np.inf
+            return
+        for v in self._variables:
+            val = float(best_x[v.index()])
+            v._solution_value = float(np.round(val)) if v.integer() else val
+        lower = min([pb for _, _, pb in frontier], default=best)
+        self._mip_gap = max(0.0, (best - lower) / max(1.0, abs(best)))
+        self._remap_objectives(best, lower)
+        self._status = (
+            ResultStatus.OPTIMAL if not frontier else ResultStatus.FEASIBLE
+        )

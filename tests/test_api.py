@@ -1,0 +1,151 @@
+"""OR-Tools-style modeling API (reference include/sypha/sypha.h semantics,
+acceptance demo examples/scp_solver.cpp)."""
+
+import numpy as np
+import pytest
+
+from sypha_tpu.api import ResultStatus, Solver
+
+
+def _build_scp(solver, costs, rows, integer=True):
+    make = solver.MakeBoolVar if integer else (
+        lambda name: solver.MakeNumVar(0.0, solver.infinity(), name)
+    )
+    xs = [make(f"x{j}") for j in range(len(costs))]
+    obj = solver.MutableObjective()
+    for x, c in zip(xs, costs):
+        obj.SetCoefficient(x, c)
+    obj.SetMinimization()
+    for r in rows:
+        ct = solver.MakeRowConstraint(1.0, solver.infinity())
+        for j in r:
+            ct.SetCoefficient(xs[j], 1.0)
+    return xs
+
+
+TINY_COSTS = [2.0, 3.0, 4.0, 5.0]
+TINY_ROWS = [[0, 1], [1, 2], [0, 2, 3]]
+
+
+def test_lp_path_matches_scipy():
+    from scipy.optimize import linprog
+
+    s = Solver("tiny-lp")
+    xs = _build_scp(s, TINY_COSTS, TINY_ROWS, integer=False)
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL
+
+    A = np.zeros((3, 4))
+    for i, r in enumerate(TINY_ROWS):
+        A[i, r] = 1.0
+    ref = linprog(TINY_COSTS, A_ub=-A, b_ub=-np.ones(3), method="highs")
+    assert abs(s.objective_value() - ref.fun) < 1e-7
+    assert abs(s.dual_objective_value() - ref.fun) < 1e-6
+    # duals match scipy's (>= rows, minimization: y >= 0)
+    duals = np.asarray([c.dual_value() for c in s._constraints])
+    np.testing.assert_allclose(duals, ref.ineqlin.marginals * -1.0, atol=1e-6)
+
+
+def test_milp_scp_path():
+    s = Solver("tiny-milp")
+    xs = _build_scp(s, TINY_COSTS, TINY_ROWS, integer=True)
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL
+    assert abs(s.objective_value() - 5.0) < 1e-9  # x0 + x1
+    chosen = [x.solution_value() for x in xs]
+    assert sum(c * v for c, v in zip(TINY_COSTS, chosen)) == pytest.approx(5.0)
+    assert s.mip_gap() == pytest.approx(0.0)
+
+
+def test_maximize_with_offset():
+    s = Solver("max")
+    x = s.MakeNumVar(0.0, s.infinity(), "x")
+    y = s.MakeNumVar(0.0, s.infinity(), "y")
+    ct1 = s.MakeRowConstraint(-s.infinity(), 4.0)  # x + y <= 4
+    ct1.SetCoefficient(x, 1.0)
+    ct1.SetCoefficient(y, 1.0)
+    ct2 = s.MakeRowConstraint(-s.infinity(), 3.0)  # x <= 3
+    ct2.SetCoefficient(x, 1.0)
+    obj = s.MutableObjective()
+    obj.SetCoefficient(x, 2.0)
+    obj.SetCoefficient(y, 1.0)
+    obj.SetOffset(10.0)
+    obj.SetMaximization()
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL
+    # max 2x + y st x+y<=4, x<=3 -> x=3, y=1, obj = 7 + 10
+    assert abs(s.objective_value() - 17.0) < 1e-6
+    assert abs(x.solution_value() - 3.0) < 1e-6
+    assert abs(y.solution_value() - 1.0) < 1e-6
+
+
+def test_equality_and_range_rows():
+    s = Solver("rows")
+    x = s.MakeNumVar(0.0, s.infinity(), "x")
+    y = s.MakeNumVar(0.0, s.infinity(), "y")
+    eq = s.MakeRowConstraint(2.0, 2.0)  # x + y = 2
+    eq.SetCoefficient(x, 1.0)
+    eq.SetCoefficient(y, 1.0)
+    rng = s.MakeRowConstraint(0.5, 1.5)  # 0.5 <= x <= 1.5 (range splits)
+    rng.SetCoefficient(x, 1.0)
+    obj = s.MutableObjective()
+    obj.SetCoefficient(x, 1.0)
+    obj.SetCoefficient(y, 2.0)
+    obj.SetMinimization()
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL
+    # min x + 2y st x+y=2, x<=1.5 -> x=1.5, y=0.5 -> 2.5
+    assert abs(s.objective_value() - 2.5) < 1e-6
+
+
+def test_generic_binary_milp():
+    """Knapsack-style model: binary but NOT set covering -> generic B&B."""
+    s = Solver("knapsack")
+    vals = [6.0, 10.0, 12.0]
+    wts = [1.0, 2.0, 3.0]
+    xs = [s.MakeBoolVar(f"x{j}") for j in range(3)]
+    cap = s.MakeRowConstraint(-s.infinity(), 4.0)
+    for x, w in zip(xs, wts):
+        cap.SetCoefficient(x, w)
+    # x_j <= 1 rows (binary upper bounds live in the row system)
+    for x in xs:
+        ub = s.MakeRowConstraint(-s.infinity(), 1.0)
+        ub.SetCoefficient(x, 1.0)
+    obj = s.MutableObjective()
+    for x, v in zip(xs, vals):
+        obj.SetCoefficient(x, v)
+    obj.SetMaximization()
+    status = s.Solve()
+    assert status in (ResultStatus.OPTIMAL, ResultStatus.FEASIBLE)
+    # optimum: items 2+3 (w=5 > 4? no: 2+3=5 > 4) -> items 1+3 w=4 val=18
+    assert abs(s.objective_value() - 18.0) < 1e-6
+
+
+def test_infeasible_lp():
+    s = Solver("infeas")
+    x = s.MakeNumVar(0.0, s.infinity(), "x")
+    c1 = s.MakeRowConstraint(2.0, s.infinity())  # x >= 2
+    c1.SetCoefficient(x, 1.0)
+    c2 = s.MakeRowConstraint(-s.infinity(), 1.0)  # x <= 1
+    c2.SetCoefficient(x, 1.0)
+    s.MutableObjective().SetCoefficient(x, 1.0)
+    status = s.Solve()
+    assert status in (ResultStatus.INFEASIBLE, ResultStatus.FEASIBLE)
+    # must not claim optimality
+    assert status != ResultStatus.OPTIMAL
+
+
+def test_api_on_scp41(data_dir):
+    """The reference's acceptance demo (examples/scp_solver.cpp) end-to-end:
+    parse scp41, build via the API, solve the LP relaxation (golden 429)."""
+    from sypha_tpu import read_scp_file
+
+    m = read_scp_file(str(data_dir / "scp41.txt"))
+    s = Solver("scp41")
+    s.parameters().disable_bnb = True
+    s.parameters().verbosity = 0
+    _build_scp(s, list(m.costs), [list(r) for r in m.rows], integer=True)
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL
+    assert abs(s.objective_value() - 429.0) < 1e-4
+    assert abs(s.dual_objective_value() - 429.0) < 1e-4
