@@ -128,8 +128,16 @@ def config_from_args(args) -> SolverConfig:
         show_solution=args.show_solution,
         preprocess_time_limit_sec=args.preprocess_time_limit_sec,
         preprocess_column_strategies=args.preprocess_columns,
-        ipm=IpmOptions(max_iter=args.mehrotra_max_iter, tol_gap=args.tol,
-                       tol_feas=args.tol),
+        ipm=IpmOptions(
+            max_iter=args.mehrotra_max_iter,
+            tol_gap=args.tol,
+            tol_feas=args.tol,
+            linear_solver=args.linear_solver,
+            cg_max_iter=args.krylov_max_cg_iter,
+            cg_tol_initial=args.krylov_cg_tol_initial,
+            cg_tol_final=args.krylov_cg_tol_final,
+            cg_tol_decay=args.krylov_cg_tol_decay,
+        ),
         cg=CgOptions(
             max_cg_iter=args.krylov_max_cg_iter,
             tol_initial=args.krylov_cg_tol_initial,

@@ -43,10 +43,26 @@ class IpmOptions:
     # equations finite near convergence.
     d2_min: float = 1e-30
     d2_max: float = 1e30
-    # --- Newton-system linear solver (ops.spd): factor the equilibrated
-    # normal matrix in this dtype ("float32" rides the MXU, ~20x cheaper than
-    # emulated f64 on TPU), then recover f64 accuracy with flexible PCG in
-    # f64 preconditioned by that factor. ---
+    # --- Newton-system linear solver strategy (reference --linear-solver,
+    # src/sypha_environment.cpp:127; its sparse_qr exists to suit cusolverSp
+    # and has no TPU-native reason to exist):
+    #   "dense": factor the f32 normal matrix once per iteration (MXU GEMM +
+    #            block Cholesky) and use it as the PCG preconditioner;
+    #   "cg":    matrix-free Jacobi-preconditioned CG (the reference's Krylov
+    #            path, src/sypha_solver_krylov.cu) with the per-IPM-iteration
+    #            adaptive tolerance schedule (src/sypha_solver.cpp:552-553);
+    #            right for very large m where an m x m factor is prohibitive.
+    linear_solver: str = "dense"
+    # CG path: tol_k = max(cg_tol_final, cg_tol_initial * cg_tol_decay^k)
+    # (reference kKrylovCgTol*, src/sypha_environment_defaults.h:21-24).
+    cg_max_iter: int = 500
+    cg_tol_initial: float = 1e-2
+    cg_tol_final: float = 1e-8
+    cg_tol_decay: float = 0.5
+    # --- factoring (dense strategy): factor the equilibrated normal matrix
+    # in this dtype ("float32" rides the MXU, ~20x cheaper than emulated f64
+    # on TPU), then recover f64 accuracy with flexible PCG in f64
+    # preconditioned by that factor. ---
     factor_dtype: str = "float32"
     # Ridge added to the equilibrated (unit-diagonal) matrix before
     # factoring; None = auto by dtype (2e-6 for f32, 1e-12 for f64).

@@ -30,7 +30,12 @@ from jax import lax
 from sypha_tpu.config import IpmOptions
 from sypha_tpu.core.problem import PaddedLp
 from sypha_tpu.core.status import IpmStatus
-from sypha_tpu.ops.spd import normal_eq_factor, normal_eq_solve
+from sypha_tpu.ops.spd import (
+    _apply_normal_precond,
+    normal_eq_factor,
+    normal_eq_solve,
+    pcg_solve,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -123,11 +128,14 @@ def mehrotra_solve(
 
     Single-instance; wrap with ``jax.vmap`` for batches (driver.solve_lp_batch).
     """
+    from sypha_tpu.ipm.shared import use_cg_strategy
+
     A, b, c = lp.A, lp.b, lp.c
     n_pad = c.shape[-1]
     norm_b = 1.0 + jnp.linalg.norm(b)
     norm_c = 1.0 + jnp.linalg.norm(c)
     dtype, ridge = _factor_params(opts)
+    use_cg = use_cg_strategy(opts, lp.m_pad)
 
     if x0 is None:
         x, y, s = initial_point(lp, opts)
@@ -185,24 +193,47 @@ def mehrotra_solve(
         # of each Newton solve stays matrix-free (2 GEMVs per PCG step),
         # which avoids every O(m^2 n) emulated-f64 GEMM.
         d2 = jnp.clip(x / s, opts.d2_min, opts.d2_max)
-        fac = normal_eq_factor(A, d2, lp.row_pad, dtype, ridge, opts.chol_leaf_size)
 
         def matvec(v):
             return A @ (d2 * (A.T @ v)) + lp.row_pad * v
+
+        if use_cg:
+            # Jacobi-CG Krylov path + adaptive tolerance schedule
+            # (reference src/sypha_solver_krylov.cu, src/sypha_solver.cpp:552-553)
+            diag = (A * A) @ d2 + lp.row_pad
+            cg_tol = jnp.maximum(
+                opts.cg_tol_final,
+                opts.cg_tol_initial
+                * opts.cg_tol_decay ** st.iterations.astype(c.dtype),
+            )
+            solve = lambda f: pcg_solve(
+                lambda r: r / jnp.maximum(diag, 1e-300),
+                matvec, f, cg_tol, opts.cg_max_iter,
+            )
+            solve_gate = jnp.maximum(100.0 * cg_tol, 1e-3)
+        else:
+            fac = normal_eq_factor(
+                A, d2, lp.row_pad, dtype, ridge, opts.chol_leaf_size
+            )
+            solve = lambda f: pcg_solve(
+                lambda r: _apply_normal_precond(fac, r),
+                matvec, f, opts.newton_tol, opts.newton_max_steps,
+            )
+            solve_gate = jnp.asarray(1e-3, c.dtype)
 
         s_safe = jnp.maximum(s, 1e-300)
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
             f = A @ (vec1 - d2 * r_c) - r_b
-            dy = normal_eq_solve(fac, matvec, f, opts.newton_tol, opts.newton_max_steps)
+            dy, solve_rel = solve(f)
             ds = -r_c - A.T @ dy
             dx = -vec1 - d2 * ds
-            return dx, dy, ds
+            return dx, dy, ds, solve_rel
 
         # predictor (affine scaling)
         r_xs = x * s
-        dxa, dya, dsa = newton(r_xs)
+        dxa, dya, dsa, rel_a = newton(r_xs)
         a_p = _alpha_max(x, dxa)
         a_d = _alpha_max(s, dsa)
         mu_aff = jnp.dot(x + a_p * dxa, s + a_d * dsa) / n_pad
@@ -210,7 +241,7 @@ def mehrotra_solve(
 
         # corrector, reusing the factor (reference corrector_rhs_dev,
         # src/sypha_solver_utils.cu:51-65: r_xs += dx_aff*ds_aff - sigma*mu)
-        dx, dy, ds = newton(r_xs + dxa * dsa - sigma * mu)
+        dx, dy, ds, rel_c = newton(r_xs + dxa * dsa - sigma * mu)
 
         eta = (
             jnp.maximum(opts.eta, 1.0 - mu) if opts.adaptive_eta else opts.eta
@@ -226,6 +257,12 @@ def mehrotra_solve(
             jnp.all(jnp.isfinite(x_new)),
             jnp.logical_and(jnp.all(jnp.isfinite(y_new)), jnp.all(jnp.isfinite(s_new))),
         )
+        # linear-solve quality gates (see ipm.shared): a failed (Jacobi-)CG
+        # solve, or a step that blows up primal feasibility, must stop the
+        # lane at its current iterate instead of stepping on garbage
+        res_p_new = jnp.linalg.norm(A @ x_new - b) / norm_b
+        step_bad = res_p_new > jnp.maximum(10.0 * res_p, 100.0 * opts.tol_feas)
+        solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
 
         new_status = jnp.where(
             converged,
@@ -236,7 +273,11 @@ def mehrotra_solve(
                 jnp.where(
                     hit_max,
                     IpmStatus.MAX_ITER,
-                    jnp.where(stalled, IpmStatus.GAP_STALLED, IpmStatus.RUNNING),
+                    jnp.where(
+                        stalled | solve_failed,
+                        IpmStatus.GAP_STALLED,
+                        IpmStatus.RUNNING,
+                    ),
                 ),
             ),
         ).astype(jnp.int32)

@@ -144,59 +144,52 @@ def _precond(Linv, dinv, r):
 
 
 def _pcg(Linv, dinv, matvec, f, tol, max_steps: int):
-    """Flexible PCG in f64, batched over lanes, matrix-free matvec."""
-    norm_f = jnp.linalg.norm(f, axis=-1, keepdims=True)
-    thresh = tol * jnp.maximum(norm_f, 1e-300)
-    x0 = _precond(Linv, dinv, f)
-    r0 = f - matvec(x0)
-    z0 = _precond(Linv, dinv, r0)
-    rz0 = jnp.sum(r0 * z0, axis=-1, keepdims=True)
+    """Flexible PCG preconditioned by the f32 Cholesky factor (ops.spd)."""
+    from sypha_tpu.ops.spd import pcg_solve
 
-    def cond(carry):
-        x, r, z, p, rz, k = carry
-        rnorm = jnp.linalg.norm(r, axis=-1, keepdims=True)
-        return jnp.logical_and(k < max_steps, jnp.any(rnorm > thresh))
-
-    def body(carry):
-        x, r, z, p, rz, k = carry
-        Ap = matvec(p)
-        pAp = jnp.sum(p * Ap, axis=-1, keepdims=True)
-        ok = pAp > 0.0
-        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
-        x_new = x + alpha * p
-        r_new = r - alpha * Ap
-        z_new = _precond(Linv, dinv, r_new)
-        rz_new = jnp.sum(r_new * z_new, axis=-1, keepdims=True)
-        num = jnp.sum((r_new - r) * z_new, axis=-1, keepdims=True)
-        beta = jnp.where(
-            jnp.abs(rz) > 0, num / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0
-        )
-        p_new = z_new + beta * p
-        return (x_new, r_new, z_new, p_new, rz_new, k + 1)
-
-    x, *_ = lax.while_loop(
-        cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
-    )
-    return x
+    return pcg_solve(lambda r: _precond(Linv, dinv, r), matvec, f, tol, max_steps)
 
 
-def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32):
+def use_cg_strategy(opts: IpmOptions, m_pad: int) -> bool:
+    """Resolve the linear-solver strategy (reference picks dense vs Krylov
+    by GPU memory, src/sypha_solver.cpp:218-320; on TPU the analogous
+    resource is the O(B m^2) factor footprint + O(m^3) factor FLOPs, so
+    `auto` switches to matrix-free CG for large row counts)."""
+    if opts.linear_solver == "cg":
+        return True
+    if opts.linear_solver == "auto":
+        return m_pad > 2048
+    return False
+
+
+def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32, use_cg: bool):
     """Mehrotra initial point, batched over lanes of the shared matrix
     (reference src/sypha_solver_init.cpp:543-652)."""
+    from sypha_tpu.ops.spd import pcg_solve
+
     A, b, c, mask = batch.A, batch.b, batch.c, batch.col_mask
     ft, ridge = _factor_params(opts)
     row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
-    Linv, dinv = _shared_factor(
-        A32, mask, row_reg, ft, ridge, opts.chol_leaf_size
-    )
 
     def matvec(v):
         return (mask * (v @ A)) @ A.T + batch.row_pad * v
 
-    vy = _pcg(Linv, dinv, matvec, b, 1e-12, opts.newton_max_steps)
+    if use_cg:
+        diag = mask @ (A * A).T + row_reg
+        solve = lambda f: pcg_solve(
+            lambda r: r / jnp.maximum(diag, 1e-300),
+            matvec, f, 1e-12, opts.cg_max_iter,
+        )[0]
+    else:
+        Linv, dinv = _shared_factor(
+            A32, mask, row_reg, ft, ridge, opts.chol_leaf_size
+        )
+        solve = lambda f: _pcg(Linv, dinv, matvec, f, 1e-12, opts.newton_max_steps)[0]
+
+    vy = solve(b)
     x = mask * (vy @ A)
     Ac = (mask * c) @ A.T
-    y = _pcg(Linv, dinv, matvec, Ac, 1e-12, opts.newton_max_steps)
+    y = solve(Ac)
     s = c - mask * (y @ A)
 
     delta_x = jnp.maximum(-1.5 * jnp.min(x, axis=-1, keepdims=True), 0.0)
@@ -229,17 +222,21 @@ def mehrotra_solve_shared(
     batch runs as ONE ``lax.while_loop``; lanes that converge freeze while
     the rest continue (per-lane status gating, as in ipm.dense).
     """
+    from sypha_tpu.ops.spd import pcg_solve
+
     A, b, c, mask = batch.A, batch.b, batch.c, batch.col_mask
     B, n_pad = c.shape[-2], c.shape[-1]
     ft, ridge = _factor_params(opts)
     A32 = A.astype(ft)
     row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
+    use_cg = use_cg_strategy(opts, batch.m_pad)
+    A2 = A * A if use_cg else None  # Jacobi diagonal source (hoisted)
 
     norm_b = 1.0 + jnp.linalg.norm(b, axis=-1)
     norm_c = 1.0 + jnp.linalg.norm(c, axis=-1)
 
     if x0 is None:
-        x, y, s = shared_initial_point(batch, opts, A32)
+        x, y, s = shared_initial_point(batch, opts, A32, use_cg)
     else:
         x, y, s = x0, y0, s0
 
@@ -294,31 +291,51 @@ def mehrotra_solve_shared(
 
         d2 = jnp.clip(x / s, opts.d2_min, opts.d2_max)
         d2_eff = d2 * mask
-        Linv, dinv = _shared_factor(
-            A32, d2_eff, row_reg, ft, ridge, opts.chol_leaf_size
-        )
 
         def matvec(v):
             return (d2_eff * (v @ A)) @ A.T + batch.row_pad * v
+
+        if use_cg:
+            # Jacobi-CG Krylov path with the reference's adaptive tolerance
+            # schedule per IPM iteration (src/sypha_solver.cpp:552-553)
+            diag = d2_eff @ A2.T + row_reg
+            cg_tol = jnp.maximum(
+                opts.cg_tol_final,
+                opts.cg_tol_initial
+                * opts.cg_tol_decay ** st.iterations.astype(c.dtype),
+            )[:, None]
+            solve = lambda f: pcg_solve(
+                lambda r: r / jnp.maximum(diag, 1e-300),
+                matvec, f, cg_tol, opts.cg_max_iter,
+            )
+            solve_gate = jnp.maximum(100.0 * cg_tol[:, 0], 1e-3)
+        else:
+            Linv, dinv = _shared_factor(
+                A32, d2_eff, row_reg, ft, ridge, opts.chol_leaf_size
+            )
+            solve = lambda f: _pcg(
+                Linv, dinv, matvec, f, opts.newton_tol, opts.newton_max_steps
+            )
+            solve_gate = jnp.asarray(1e-3, c.dtype)
 
         s_safe = jnp.maximum(s, 1e-300)
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
             f = (mask * (vec1 - d2 * r_c)) @ A.T - r_b
-            dy = _pcg(Linv, dinv, matvec, f, opts.newton_tol, opts.newton_max_steps)
+            dy, solve_rel = solve(f)
             ds = -r_c - mask * (dy @ A)
             dx = -vec1 - d2 * ds
-            return dx, dy, ds
+            return dx, dy, ds, solve_rel
 
         r_xs = x * s
-        dxa, dya, dsa = newton(r_xs)
+        dxa, dya, dsa, rel_a = newton(r_xs)
         a_p = _alpha_max_batch(x, dxa)[:, None]
         a_d = _alpha_max_batch(s, dsa)[:, None]
         mu_aff = jnp.sum((x + a_p * dxa) * (s + a_d * dsa), axis=-1) / n_pad
         sigma = (mu_aff / mu) ** opts.sigma_pow
 
-        dx, dy, ds = newton(r_xs + dxa * dsa - (sigma * mu)[:, None])
+        dx, dy, ds, rel_c = newton(r_xs + dxa * dsa - (sigma * mu)[:, None])
 
         eta = (
             jnp.maximum(opts.eta, 1.0 - mu) if opts.adaptive_eta else jnp.full_like(mu, opts.eta)
@@ -335,6 +352,19 @@ def mehrotra_solve_shared(
             & jnp.all(jnp.isfinite(y_new), axis=-1)
             & jnp.all(jnp.isfinite(s_new), axis=-1)
         )
+        # linear-solve quality gates: a Newton system the (Jacobi-)CG could
+        # not solve to within ~100x of its requested tolerance produces a
+        # garbage direction (reference CG breakdown -> failure,
+        # src/sypha_solver_krylov.cu:335-339); additionally ACCEPT the step
+        # only if it does not blow up primal feasibility (near the endgame,
+        # dx error ~ d2 * ds error is amplified by up to 1e12, which no
+        # residual gate on dy can see).  A rejected step terminates the lane
+        # at its current (best) iterate with GAP_STALLED.
+        res_p_new = jnp.linalg.norm(
+            (mask * x_new) @ A.T - b, axis=-1
+        ) / norm_b
+        step_bad = res_p_new > jnp.maximum(10.0 * res_p, 100.0 * opts.tol_feas)
+        solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
 
         new_status = jnp.where(
             converged,
@@ -345,7 +375,11 @@ def mehrotra_solve_shared(
                 jnp.where(
                     hit_max,
                     IpmStatus.MAX_ITER,
-                    jnp.where(stalled, IpmStatus.GAP_STALLED, IpmStatus.RUNNING),
+                    jnp.where(
+                        stalled | solve_failed,
+                        IpmStatus.GAP_STALLED,
+                        IpmStatus.RUNNING,
+                    ),
                 ),
             ),
         ).astype(jnp.int32)

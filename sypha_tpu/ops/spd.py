@@ -121,26 +121,29 @@ def _apply_normal_precond(fac: NormalEqFactor, r: jnp.ndarray) -> jnp.ndarray:
     return (fac.dinv * z).astype(r.dtype)
 
 
-def normal_eq_solve(
-    fac: NormalEqFactor,
+def pcg_solve(
+    precond: Callable[[jnp.ndarray], jnp.ndarray],
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     f: jnp.ndarray,
     tol: jnp.ndarray | float = 1e-10,
     max_steps: int = 40,
 ) -> jnp.ndarray:
-    """Solve M x = f with flexible PCG in f.dtype (f64), matrix-free.
+    """Flexible (Polak-Ribiere) PCG in f.dtype, fully matrix-free and
+    batch-first.  ``precond`` may be inexact/low-precision (an f32 Cholesky
+    apply, a Jacobi diagonal); flexibility restores convergence anyway.
 
-    ``matvec`` applies the exact f64 operator v -> A (d2 * (A^T v)) + reg*v;
-    the f32 factor is only a preconditioner, so the result converges to full
-    f64 accuracy at ~2 cheap matvecs per step instead of an O(m^2 n) f64
-    GEMM per IPM iteration.
+    This one loop serves both reference linear-solve paths: with the f32
+    Cholesky preconditioner it plays the dense-factor role
+    (src/sypha_solver_dense_linear.cpp), with Jacobi it IS the Krylov path
+    (krylovSolveCG, src/sypha_solver_krylov.cu:230-393) minus the per-CG-step
+    device->host syncs the reference pays for every cuBLAS dot (SURVEY §3.4).
     """
     norm_f = jnp.linalg.norm(f, axis=-1, keepdims=True)
     thresh = tol * jnp.maximum(norm_f, 1e-300)
 
-    x0 = _apply_normal_precond(fac, f)
+    x0 = precond(f)
     r0 = f - matvec(x0)
-    z0 = _apply_normal_precond(fac, r0)
+    z0 = precond(r0)
     rz0 = jnp.sum(r0 * z0, axis=-1, keepdims=True)
 
     def cond(carry):
@@ -156,18 +159,41 @@ def normal_eq_solve(
         alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
         x_new = x + alpha * p
         r_new = r - alpha * Ap
-        z_new = _apply_normal_precond(fac, r_new)
+        z_new = precond(r_new)
         rz_new = jnp.sum(r_new * z_new, axis=-1, keepdims=True)
-        # flexible (Polak-Ribiere) beta: robust to the inexact f32 precond
+        # flexible (Polak-Ribiere) beta: robust to an inexact preconditioner
         num = jnp.sum((r_new - r) * z_new, axis=-1, keepdims=True)
         beta = jnp.where(jnp.abs(rz) > 0, num / jnp.where(jnp.abs(rz) > 0, rz, 1.0), 0.0)
         p_new = z_new + beta * p
         return (x_new, r_new, z_new, p_new, rz_new, k + 1)
 
-    x, *_ = lax.while_loop(
+    x, r, *_ = lax.while_loop(
         cond, body, (x0, r0, z0, z0, rz0, jnp.asarray(0, jnp.int32))
     )
-    return x
+    # achieved relative residual per lane — callers use it to reject steps
+    # when the linear solve failed (the reference's CG-breakdown detection,
+    # src/sypha_solver_krylov.cu:335-339, :370-374)
+    rel = jnp.linalg.norm(r, axis=-1) / jnp.maximum(norm_f[..., 0], 1e-300)
+    return x, rel
+
+
+def normal_eq_solve(
+    fac: NormalEqFactor,
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    f: jnp.ndarray,
+    tol: jnp.ndarray | float = 1e-10,
+    max_steps: int = 40,
+) -> jnp.ndarray:
+    """Solve M x = f with the f32 Cholesky factor as PCG preconditioner.
+
+    ``matvec`` applies the exact f64 operator v -> A (d2 * (A^T v)) + reg*v;
+    the f32 factor is only a preconditioner, so the result converges to full
+    f64 accuracy at ~2 cheap matvecs per step instead of an O(m^2 n) f64
+    GEMM per IPM iteration.
+    """
+    return pcg_solve(
+        lambda r: _apply_normal_precond(fac, r), matvec, f, tol, max_steps
+    )[0]
 
 
 def spd_solve(
