@@ -1,0 +1,475 @@
+// sypha_host — native host-side runtime for sypha_tpu.
+//
+// The reference implements its entire host runtime in C++ (model reader
+// src/model_reader.cpp, presolve rules src/sypha_preprocessor.cpp, greedy
+// cover :11-98); this library is the TPU build's native counterpart for the
+// pieces that are hot on the host: SCP file parsing and the O(n^2)-O(n^3)
+// column-elimination loops over bitset row masks.  The Python layer
+// (sypha_tpu.native) loads it with ctypes and falls back to the vectorised
+// numpy implementations when the library is unavailable.
+//
+// ABI: plain C, flat arrays.  Bitsets are [ncols x nwords] uint64 row masks
+// (bit r of column j set iff column j covers row r).  `active` is a uint8
+// mask updated in place; every rule returns how many columns it newly
+// deactivated.  All rules honor a wall-clock deadline in seconds (<= 0
+// disables), like the reference's --preprocess-time-limit-sec.
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using Clock = std::chrono::steady_clock;
+
+struct Deadline {
+    Clock::time_point end;
+    bool enabled;
+    explicit Deadline(double seconds) : enabled(seconds > 0.0) {
+        if (enabled)
+            end = Clock::now() +
+                  std::chrono::duration_cast<Clock::duration>(
+                      std::chrono::duration<double>(seconds));
+    }
+    bool expired() const { return enabled && Clock::now() >= end; }
+};
+
+// does `sup` contain every bit of `sub`?
+inline bool covers(const uint64_t* sup, const uint64_t* sub, int nwords) {
+    for (int w = 0; w < nwords; ++w)
+        if (sub[w] & ~sup[w]) return false;
+    return true;
+}
+
+inline bool any_bits(const uint64_t* m, int nwords) {
+    for (int w = 0; w < nwords; ++w)
+        if (m[w]) return true;
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SCP reader (reference model_reader_read_scp_file_sparse_csr,
+// src/model_reader.cpp:90-174; the raw covering matrix, standard form is
+// built by the Python layer).  Two-phase handle protocol.
+// ---------------------------------------------------------------------------
+
+struct ScpFile {
+    int nrows = 0, ncols = 0;
+    std::vector<double> costs;
+    std::vector<int64_t> row_ptr;   // [nrows + 1]
+    std::vector<int32_t> row_idx;   // column indices per row, 0-based
+};
+
+void* sypha_scp_open(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    std::fseek(f, 0, SEEK_END);
+    long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::vector<char> buf(static_cast<size_t>(size) + 1);
+    if (std::fread(buf.data(), 1, static_cast<size_t>(size), f) !=
+        static_cast<size_t>(size)) {
+        std::fclose(f);
+        return nullptr;
+    }
+    std::fclose(f);
+    buf[static_cast<size_t>(size)] = '\0';
+
+    auto* out = new ScpFile();
+    char* p = buf.data();
+    char* endp = nullptr;
+
+    auto next_long = [&](long long* v) -> bool {
+        *v = std::strtoll(p, &endp, 10);
+        if (endp == p) return false;
+        p = endp;
+        return true;
+    };
+    auto next_double = [&](double* v) -> bool {
+        *v = std::strtod(p, &endp);
+        if (endp == p) return false;
+        p = endp;
+        return true;
+    };
+
+    long long nrows = 0, ncols = 0;
+    if (!next_long(&nrows) || !next_long(&ncols) || nrows <= 0 || ncols <= 0) {
+        delete out;
+        return nullptr;
+    }
+    out->nrows = static_cast<int>(nrows);
+    out->ncols = static_cast<int>(ncols);
+    out->costs.resize(static_cast<size_t>(ncols));
+    for (long long j = 0; j < ncols; ++j) {
+        if (!next_double(&out->costs[static_cast<size_t>(j)])) {
+            delete out;
+            return nullptr;
+        }
+    }
+    out->row_ptr.reserve(static_cast<size_t>(nrows) + 1);
+    out->row_ptr.push_back(0);
+    for (long long i = 0; i < nrows; ++i) {
+        long long cnt = 0;
+        if (!next_long(&cnt) || cnt < 0) {
+            delete out;
+            return nullptr;
+        }
+        for (long long k = 0; k < cnt; ++k) {
+            long long col = 0;  // on-disk indices are 1-based
+            if (!next_long(&col) || col < 1 || col > ncols) {
+                delete out;
+                return nullptr;
+            }
+            out->row_idx.push_back(static_cast<int32_t>(col - 1));
+        }
+        out->row_ptr.push_back(static_cast<int64_t>(out->row_idx.size()));
+    }
+    return out;
+}
+
+void sypha_scp_dims(void* h, int* nrows, int* ncols, int64_t* nnz) {
+    auto* s = static_cast<ScpFile*>(h);
+    *nrows = s->nrows;
+    *ncols = s->ncols;
+    *nnz = static_cast<int64_t>(s->row_idx.size());
+}
+
+void sypha_scp_fill(void* h, double* costs, int64_t* row_ptr, int32_t* row_idx) {
+    auto* s = static_cast<ScpFile*>(h);
+    std::memcpy(costs, s->costs.data(), s->costs.size() * sizeof(double));
+    std::memcpy(row_ptr, s->row_ptr.data(), s->row_ptr.size() * sizeof(int64_t));
+    std::memcpy(row_idx, s->row_idx.data(), s->row_idx.size() * sizeof(int32_t));
+}
+
+void sypha_scp_close(void* h) { delete static_cast<ScpFile*>(h); }
+
+// ---------------------------------------------------------------------------
+// Greedy set cover (reference greedy_set_cover_heuristic,
+// src/sypha_preprocessor.cpp:11-98): sort active columns by
+// (cost, -coverage, index), single sweep.  Returns #selected (or -1 if the
+// sweep cannot cover), fills `selected` (capacity ncols) and *objective.
+// ---------------------------------------------------------------------------
+
+int sypha_greedy_set_cover(
+    const int64_t* col_ptr, const int32_t* col_idx,  // rows per column (CSC)
+    const double* costs, const uint8_t* active,
+    int nrows, int ncols,
+    int32_t* selected, double* objective) {
+    std::vector<int> order;
+    order.reserve(static_cast<size_t>(ncols));
+    for (int j = 0; j < ncols; ++j)
+        if (active[j]) order.push_back(j);
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+        if (costs[a] != costs[b]) return costs[a] < costs[b];
+        int64_t ca = col_ptr[a + 1] - col_ptr[a];
+        int64_t cb = col_ptr[b + 1] - col_ptr[b];
+        if (ca != cb) return ca > cb;
+        return a < b;
+    });
+
+    std::vector<uint8_t> covered(static_cast<size_t>(nrows), 0);
+    int uncovered = nrows;
+    double total = 0.0;
+    int nsel = 0;
+    for (int j : order) {
+        if (uncovered <= 0) break;
+        bool adds = false;
+        for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k)
+            if (!covered[static_cast<size_t>(col_idx[k])]) { adds = true; break; }
+        if (!adds) continue;
+        for (int64_t k = col_ptr[j]; k < col_ptr[j + 1]; ++k) {
+            auto r = static_cast<size_t>(col_idx[k]);
+            if (!covered[r]) { covered[r] = 1; --uncovered; }
+        }
+        total += costs[j];
+        selected[nsel++] = j;
+    }
+    *objective = total;
+    return uncovered == 0 ? nsel : -1;
+}
+
+// ---------------------------------------------------------------------------
+// Column dominance rules over bitset row masks
+// (reference src/sypha_preprocessor.cpp:217-488).
+// ---------------------------------------------------------------------------
+
+int sypha_single_column_dominance(
+    const uint64_t* masks, int nwords,
+    const double* costs, uint8_t* active,
+    int ncols, double tol, double deadline_sec) {
+    Deadline dl(deadline_sec);
+    int removed = 0;
+    for (int t = 0; t < ncols; ++t) {
+        if (dl.expired()) break;
+        if (!active[t]) continue;
+        const uint64_t* tm = masks + static_cast<size_t>(t) * nwords;
+        for (int j = 0; j < ncols; ++j) {
+            if (j == t || !active[j]) continue;
+            if (costs[j] > costs[t] + tol) continue;
+            // equal-cost ties keep the lower index
+            if (costs[j] >= costs[t] - tol && j >= t) continue;
+            if (covers(masks + static_cast<size_t>(j) * nwords, tm, nwords)) {
+                active[t] = 0;
+                ++removed;
+                break;
+            }
+        }
+    }
+    return removed;
+}
+
+namespace {
+
+// shared pair/triplet search: is there a pair (or triplet) among cand
+// (cost-sorted ascending) with total cost <= budget whose union covers tm?
+bool pair_triplet_dominated(
+    const uint64_t* masks, int nwords, const double* costs,
+    const uint64_t* tm, const int32_t* cand, int ncand,
+    double budget, bool triplets, const Deadline& dl,
+    std::vector<uint64_t>& rem, std::vector<uint64_t>& rem2) {
+    rem.resize(static_cast<size_t>(nwords));
+    rem2.resize(static_cast<size_t>(nwords));
+    for (int i = 0; i < ncand; ++i) {
+        if (dl.expired()) return false;
+        int a = cand[i];
+        double ci = costs[a];
+        if (ci > budget) break;
+        const uint64_t* ma = masks + static_cast<size_t>(a) * nwords;
+        bool empty = true;
+        for (int w = 0; w < nwords; ++w) {
+            rem[static_cast<size_t>(w)] = tm[w] & ~ma[w];
+            if (rem[static_cast<size_t>(w)]) empty = false;
+        }
+        if (empty) continue;  // single coverage is the single-column rule's job
+        for (int j = i + 1; j < ncand; ++j) {
+            int b = cand[j];
+            double cij = ci + costs[b];
+            if (cij > budget) break;
+            const uint64_t* mb = masks + static_cast<size_t>(b) * nwords;
+            if (covers(mb, rem.data(), nwords)) return true;
+            if (!triplets) continue;
+            bool empty2 = true;
+            for (int w = 0; w < nwords; ++w) {
+                rem2[static_cast<size_t>(w)] = rem[static_cast<size_t>(w)] & ~mb[w];
+                if (rem2[static_cast<size_t>(w)]) empty2 = false;
+            }
+            if (empty2) continue;
+            for (int k = j + 1; k < ncand; ++k) {
+                int c = cand[k];
+                if (cij + costs[c] > budget) break;
+                if (covers(masks + static_cast<size_t>(c) * nwords,
+                           rem2.data(), nwords))
+                    return true;
+            }
+        }
+    }
+    return false;
+}
+
+}  // namespace
+
+// Shared driver for two_column_dominance / cost_driven_replacement.
+// `targets` is the scan order; per target the candidate list is every
+// active column sharing a row (computed from the row CSR), cost-sorted.
+static int dominance_scan(
+    const uint64_t* masks, int nwords,
+    const double* costs, uint8_t* active, int ncols,
+    const int64_t* row_ptr, const int32_t* row_idx, int nrows,
+    const int64_t* col_ptr, const int32_t* col_idx,
+    const int32_t* targets, int ntargets,
+    double budget_tol, bool triplets, double deadline_sec) {
+    Deadline dl(deadline_sec);
+    int removed = 0;
+    std::vector<int32_t> cand;
+    std::vector<uint8_t> seen(static_cast<size_t>(ncols), 0);
+    std::vector<uint64_t> rem, rem2;
+    (void)nrows;
+    for (int ti = 0; ti < ntargets; ++ti) {
+        if (dl.expired()) break;
+        int t = targets[ti];
+        if (!active[t]) continue;
+        // candidates: active columns sharing a covering row with t
+        cand.clear();
+        for (int64_t k = col_ptr[t]; k < col_ptr[t + 1]; ++k) {
+            int r = col_idx[k];
+            for (int64_t q = row_ptr[r]; q < row_ptr[r + 1]; ++q) {
+                int j = row_idx[q];
+                if (j != t && active[j] && !seen[static_cast<size_t>(j)]) {
+                    seen[static_cast<size_t>(j)] = 1;
+                    cand.push_back(j);
+                }
+            }
+        }
+        for (int32_t j : cand) seen[static_cast<size_t>(j)] = 0;
+        if (static_cast<int>(cand.size()) < 2) continue;
+        std::sort(cand.begin(), cand.end(), [&](int a, int b) {
+            if (costs[a] != costs[b]) return costs[a] < costs[b];
+            return a < b;
+        });
+        double budget = costs[t] + budget_tol;
+        if (pair_triplet_dominated(masks, nwords, costs,
+                                   masks + static_cast<size_t>(t) * nwords,
+                                   cand.data(), static_cast<int>(cand.size()),
+                                   budget, triplets, dl, rem, rem2)) {
+            active[t] = 0;
+            ++removed;
+        }
+    }
+    return removed;
+}
+
+int sypha_two_column_dominance(
+    const uint64_t* masks, int nwords,
+    const double* costs, uint8_t* active, int ncols,
+    const int64_t* row_ptr, const int32_t* row_idx, int nrows,
+    const int64_t* col_ptr, const int32_t* col_idx,
+    double tol, double deadline_sec) {
+    // targets scanned in index order; strict budget cost_t - tol
+    std::vector<int32_t> targets;
+    targets.reserve(static_cast<size_t>(ncols));
+    for (int t = 0; t < ncols; ++t)
+        if (active[t]) targets.push_back(t);
+    return dominance_scan(masks, nwords, costs, active, ncols, row_ptr,
+                          row_idx, nrows, col_ptr, col_idx, targets.data(),
+                          static_cast<int>(targets.size()),
+                          -tol - 1e-300, /*triplets=*/false, deadline_sec);
+}
+
+int sypha_cost_driven_replacement(
+    const uint64_t* masks, int nwords,
+    const double* costs, uint8_t* active, int ncols,
+    const int64_t* row_ptr, const int32_t* row_idx, int nrows,
+    const int64_t* col_ptr, const int32_t* col_idx,
+    double tol, double deadline_sec) {
+    // targets scanned most-expensive-first; budget cost_t + tol, triplets on
+    std::vector<int32_t> targets;
+    targets.reserve(static_cast<size_t>(ncols));
+    for (int t = 0; t < ncols; ++t)
+        if (active[t]) targets.push_back(t);
+    std::sort(targets.begin(), targets.end(), [&](int a, int b) {
+        if (costs[a] != costs[b]) return costs[a] > costs[b];
+        return a < b;
+    });
+    return dominance_scan(masks, nwords, costs, active, ncols, row_ptr,
+                          row_idx, nrows, col_ptr, col_idx, targets.data(),
+                          static_cast<int>(targets.size()),
+                          tol, /*triplets=*/true, deadline_sec);
+}
+
+// ---------------------------------------------------------------------------
+// Incumbent budget pruning (reference IncumbentBudgetPruningRule,
+// src/sypha_preprocessor.cpp:490-665): per column, budget =
+// floor(incumbent) - 1 - floor(cost); tiered checks for budget {<0, 0, 1}
+// and a max-of-min-row-cost bound for budget >= 2.
+// ---------------------------------------------------------------------------
+
+int sypha_budget_pruning(
+    const uint64_t* masks, int nwords,
+    const double* costs, uint8_t* active, int ncols,
+    const int64_t* row_ptr, const int32_t* row_idx, int nrows,
+    double incumbent, double tol, double deadline_sec) {
+    if (!std::isfinite(incumbent)) return 0;
+    Deadline dl(deadline_sec);
+    int removed = 0;
+    double inc_floor = std::floor(incumbent);
+
+    std::vector<int32_t> order;
+    order.reserve(static_cast<size_t>(ncols));
+    for (int t = 0; t < ncols; ++t)
+        if (active[t]) order.push_back(t);
+    std::sort(order.begin(), order.end(), [&](int a, int b) {
+        if (costs[a] != costs[b]) return costs[a] > costs[b];
+        return a < b;
+    });
+
+    auto row_min_costs = [&](std::vector<double>& rm) {
+        rm.assign(static_cast<size_t>(nrows), HUGE_VAL);
+        for (int r = 0; r < nrows; ++r)
+            for (int64_t q = row_ptr[r]; q < row_ptr[r + 1]; ++q) {
+                int j = row_idx[q];
+                if (active[j] && costs[j] < rm[static_cast<size_t>(r)])
+                    rm[static_cast<size_t>(r)] = costs[j];
+            }
+    };
+    std::vector<double> rmin;
+    row_min_costs(rmin);
+    int stale = 0;
+
+    std::vector<int32_t> cost1;
+    for (int j = 0; j < ncols; ++j)
+        if (active[j] && std::fabs(costs[j] - 1.0) <= tol) cost1.push_back(j);
+
+    std::vector<uint64_t> unc(static_cast<size_t>(nwords));
+    for (int t : order) {
+        if (dl.expired()) break;
+        if (!active[t]) continue;
+        double budget = inc_floor - 1.0 - std::floor(costs[t]);
+        if (budget < -tol) {
+            active[t] = 0;
+            ++removed;
+            continue;
+        }
+        const uint64_t* tm = masks + static_cast<size_t>(t) * nwords;
+        bool all_covered = true;
+        for (int w = 0; w < nwords; ++w) {
+            int bits = (w == nwords - 1 && nrows % 64) ? nrows % 64 : 64;
+            uint64_t full = bits == 64 ? ~0ULL : ((1ULL << bits) - 1ULL);
+            unc[static_cast<size_t>(w)] = full & ~tm[w];
+            if (unc[static_cast<size_t>(w)]) all_covered = false;
+        }
+        if (all_covered) continue;
+
+        if (budget < tol) {  // budget == 0
+            active[t] = 0;
+            ++removed;
+            ++stale;
+            continue;
+        }
+        if (budget < 1.0 + tol) {  // budget == 1
+            bool found = false;
+            for (int32_t j : cost1) {
+                if (j == t || !active[j]) continue;
+                if (covers(masks + static_cast<size_t>(j) * nwords,
+                           unc.data(), nwords)) {
+                    found = true;
+                    break;
+                }
+            }
+            if (!found) {
+                active[t] = 0;
+                ++removed;
+                ++stale;
+            }
+            continue;
+        }
+        // budget >= 2
+        if (stale > 64) {
+            row_min_costs(rmin);
+            stale = 0;
+        }
+        double worst = 0.0;
+        for (int r = 0; r < nrows; ++r) {
+            if (unc[static_cast<size_t>(r / 64)] & (1ULL << (r % 64))) {
+                if (rmin[static_cast<size_t>(r)] > worst)
+                    worst = rmin[static_cast<size_t>(r)];
+            }
+        }
+        if (!(worst <= budget + tol)) {  // catches inf too
+            active[t] = 0;
+            ++removed;
+            ++stale;
+        }
+    }
+    return removed;
+}
+
+}  // extern "C"

@@ -52,7 +52,21 @@ def parse_scp_text(text: str, name: str = "") -> ScpModel:
 
 
 def read_scp_file(path: str) -> ScpModel:
+    name = os.path.splitext(os.path.basename(path))[0]
+
+    # native C++ reader (csrc/sypha_host.cpp, the counterpart of reference
+    # src/model_reader.cpp); falls back to the Python tokenizer
+    from sypha_tpu import native
+
+    parsed = native.read_scp_file_native(path)
+    if parsed is not None:
+        costs, row_ptr, row_idx, nrows, ncols = parsed
+        rows = [
+            np.unique(row_idx[row_ptr[i] : row_ptr[i + 1]])
+            for i in range(nrows)
+        ]
+        return ScpModel(nrows=nrows, ncols=ncols, costs=costs, rows=rows, name=name)
+
     with open(path, "r") as f:
         text = f.read()
-    name = os.path.splitext(os.path.basename(path))[0]
     return parse_scp_text(text, name=name)

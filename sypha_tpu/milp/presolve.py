@@ -37,6 +37,15 @@ def greedy_set_cover(model: BaseModel) -> GreedyResult:
     """Sort active columns by (cost, -coverage, index); single greedy sweep
     adding any column that covers an uncovered row
     (reference src/sypha_preprocessor.cpp:11-98)."""
+    from sypha_tpu import native
+
+    res = native.greedy_set_cover(model)
+    if res is not None:
+        obj, selected = res
+        if np.isfinite(obj):
+            return GreedyResult(True, obj, selected)
+        return GreedyResult()
+
     act = np.flatnonzero(model.active)
     if len(act) == 0:
         return GreedyResult()
@@ -75,11 +84,23 @@ class _Deadline:
     def expired(self) -> bool:
         return self.t_end is not None and time.monotonic() >= self.t_end
 
+    def remaining(self) -> float:
+        """Seconds left (0 disables for the native rules' convention)."""
+        if self.t_end is None:
+            return 0.0
+        return max(1e-9, self.t_end - time.monotonic())
+
 
 def single_column_dominance(model: BaseModel, tol: float, dl: _Deadline) -> int:
     """Column j is dominated when another active column covers a superset of
     its rows at cost <= cost_j (+tol); equal-cost ties keep the lower index
     (reference :217-266)."""
+    from sypha_tpu import native
+
+    r = native.single_column_dominance(model, tol, dl.remaining())
+    if r is not None:
+        return r
+
     removed = 0
     costs = model.costs
     for target in range(model.ncols):
@@ -166,6 +187,12 @@ def _pair_triplet_dominated(
 def two_column_dominance(model: BaseModel, tol: float, dl: _Deadline) -> int:
     """Pair (a,b) with cost_a + cost_b < cost_target - tol covering the
     target's rows dominates it (reference :268-337)."""
+    from sypha_tpu import native
+
+    r = native.two_column_dominance(model, tol, dl.remaining())
+    if r is not None:
+        return r
+
     removed = 0
     for target in range(model.ncols):
         if dl.expired():
@@ -186,6 +213,12 @@ def two_column_dominance(model: BaseModel, tol: float, dl: _Deadline) -> int:
 def cost_driven_replacement(model: BaseModel, tol: float, dl: _Deadline) -> int:
     """Pair and triplet replacement, targets scanned most-expensive-first,
     with total cost <= cost_target + tol (reference :338-488)."""
+    from sypha_tpu import native
+
+    r = native.cost_driven_replacement(model, tol, dl.remaining())
+    if r is not None:
+        return r
+
     removed = 0
     order = np.flatnonzero(model.active)
     order = order[np.argsort(-model.costs[order], kind="stable")]
@@ -219,6 +252,13 @@ def incumbent_budget_pruning(
     if not np.isfinite(incumbent):
         return 0
     dl = _Deadline(time_limit_sec)
+
+    from sypha_tpu import native
+
+    r = native.budget_pruning(model, incumbent, tol, dl.remaining())
+    if r is not None:
+        return r
+
     removed = 0
     inc_floor = np.floor(incumbent)
 
