@@ -1,8 +1,17 @@
 from sypha_tpu.parallel.mesh import (
     make_mesh,
-    shard_batch,
-    solve_lp_batch_sharded,
     pooled_stats,
+    shard_batch,
+    shard_shared_batch,
+    solve_lp_batch_sharded,
+    solve_shared_batch_sharded,
 )
 
-__all__ = ["make_mesh", "shard_batch", "solve_lp_batch_sharded", "pooled_stats"]
+__all__ = [
+    "make_mesh",
+    "pooled_stats",
+    "shard_batch",
+    "shard_shared_batch",
+    "solve_lp_batch_sharded",
+    "solve_shared_batch_sharded",
+]

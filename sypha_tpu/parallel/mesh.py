@@ -58,6 +58,67 @@ def pooled_stats(st, axis: str = BATCH_AXIS):
     return worst_gap, max_iters, converged
 
 
+def shard_shared_batch(batch, mesh: Mesh):
+    """Place a SharedLpBatch: lane arrays sharded over the mesh, the shared
+    matrix A (and pad-row vector) replicated on every chip."""
+    from sypha_tpu.ipm.shared import SharedLpBatch
+
+    lane = NamedSharding(mesh, P(BATCH_AXIS))
+    rep = NamedSharding(mesh, P())
+    return SharedLpBatch(
+        A=jax.device_put(batch.A, rep),
+        b=jax.device_put(batch.b, lane),
+        c=jax.device_put(batch.c, lane),
+        col_mask=jax.device_put(batch.col_mask, lane),
+        row_pad=jax.device_put(batch.row_pad, rep),
+        obj_offset=jax.device_put(batch.obj_offset, lane),
+    )
+
+
+def solve_shared_batch_sharded(
+    batch,
+    opts: Optional[IpmOptions] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """Shard the lane axis of a SharedLpBatch over the mesh: each chip runs
+    the shared-matrix batched Mehrotra solve on its lane shard (A is
+    replicated — B&B nodes share it), and only pooled scalar statistics
+    cross the ICI.  This is the flagship multi-chip execution mode: the
+    B&B frontier window scales by adding chips.
+
+    Returns (IpmState with lane axis sharded, (worst_gap, max_iters,
+    n_converged, min_dual) replicated scalars).
+    """
+    from sypha_tpu.ipm.shared import SharedLpBatch, mehrotra_solve_shared
+
+    opts = opts or IpmOptions()
+    mesh = mesh or make_mesh()
+
+    def per_chip(A, row_pad, b, c, mask, off):
+        local = SharedLpBatch(
+            A=A, b=b, c=c, col_mask=mask, row_pad=row_pad, obj_offset=off
+        )
+        st = mehrotra_solve_shared(local, opts)
+        worst_gap, max_iters, converged = pooled_stats(st)
+        # pooled dual bound: the cross-chip scalar the distributed B&B
+        # prunes against (reference keeps it in a host variable,
+        # src/sypha_solver_bnb_driver.cpp:1048-1079)
+        local_dual = jnp.min(jnp.sum(b * st.y, axis=-1) + off)
+        min_dual = jax.lax.pmin(local_dual, BATCH_AXIS)
+        return st, (worst_gap, max_iters, converged, min_dual)
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=(P(BATCH_AXIS), (P(), P(), P(), P())),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        batch.A, batch.row_pad, batch.b, batch.c, batch.col_mask, batch.obj_offset
+    )
+
+
 def solve_lp_batch_sharded(
     lp: PaddedLp,
     opts: Optional[IpmOptions] = None,

@@ -43,3 +43,42 @@ def test_sharded_matches_unsharded(data_dir):
     )[0, : int(np.asarray(lp.n_real)[0])]
     for r, o in zip(plain, obj_sharded):
         assert abs(r.primal_objective - o) < 1e-8
+
+
+def test_shared_batch_sharded(data_dir):
+    """Flagship multi-chip mode: shared-A node window lane-sharded over the
+    virtual 8-device mesh with pooled bound statistics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sypha_tpu import pad_lp, read_scp_file
+    from sypha_tpu.config import IpmOptions
+    from sypha_tpu.core.status import IpmStatus
+    from sypha_tpu.ipm.shared import fix_columns, make_shared_batch
+    from sypha_tpu.parallel import (
+        make_mesh,
+        shard_shared_batch,
+        solve_shared_batch_sharded,
+    )
+
+    mesh = make_mesh(8)
+    lanes = 16
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    lp = pad_lp(model)
+    batch = make_shared_batch(lp, lanes)
+    fix0 = np.zeros((lanes, lp.n_pad))
+    fix1 = np.zeros((lanes, lp.n_pad))
+    for i in range(lanes):
+        (fix1 if i % 2 else fix0)[i, i % 7] = 1.0
+    batch = fix_columns(batch, jnp.asarray(fix0), jnp.asarray(fix1))
+    batch = shard_shared_batch(batch, mesh)
+    st, (worst_gap, max_iters, n_conv, min_dual) = solve_shared_batch_sharded(
+        batch, IpmOptions(), mesh
+    )
+    status = np.asarray(st.status)
+    assert np.all(status == IpmStatus.CONVERGED), status
+    # every node LP bounds the root from above; pooled min must be >= root
+    # LP optimum 429 - eps and <= cheapest node objective
+    assert 428.9 <= float(min_dual) <= 450.0, float(min_dual)
+    assert float(worst_gap) < 1e-8
