@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Benchmark runner — counterpart of the reference's benchmark harness
+(benchmark/benchmark.py + run_sypha_benchmark.sh): solves instance families
+LP + MILP and writes CSVs with the reference's schemas
+(benchmark/results/sypha_results.csv columns).
+
+Usage:
+  python benchmark/run_benchmark.py [--families scp4,scp5] [--lp-only]
+      [--time-limit 120] [--out results]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FAMILIES = {
+    "scp4": [f"scp4{i}" for i in range(1, 10)] + ["scp410"],
+    "scp5": [f"scp5{i}" for i in range(1, 10)] + ["scp510"],
+    "scpa": [f"scpa{i}" for i in range(1, 6)],
+    "scpb": [f"scpb{i}" for i in range(1, 6)],
+    "scpnre": [f"scpnre{i}" for i in range(1, 6)],
+    "scpnrf": [f"scpnrf{i}" for i in range(1, 6)],
+    "scpnrg": [f"scpnrg{i}" for i in range(1, 6)],
+    "scpnrh": [f"scpnrh{i}" for i in range(1, 6)],
+}
+
+DATA_DIR = os.environ.get("SYPHA_DATA_DIR", "/root/reference/data")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="scp4,scp5")
+    ap.add_argument("--lp-only", action="store_true")
+    ap.add_argument("--time-limit", type=float, default=120.0)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results"))
+    args = ap.parse_args()
+
+    from sypha_tpu import pad_lp, read_scp_file, solve_lp
+    from sypha_tpu.config import BnbOptions, IpmOptions, SolverConfig
+    from sypha_tpu.core.status import IpmStatus, MilpStatus
+    from sypha_tpu.milp.bnb import branch_and_bound
+
+    os.makedirs(args.out, exist_ok=True)
+    mode = "lp" if args.lp_only else "milp"
+    out_csv = os.path.join(args.out, f"sypha_tpu_{mode}_results.csv")
+
+    rows = []
+    for fam in args.families.split(","):
+        for name in FAMILIES.get(fam.strip(), []):
+            path = os.path.join(DATA_DIR, f"{name}.txt")
+            if not os.path.exists(path):
+                continue
+            t0 = time.monotonic()
+            model = read_scp_file(path)
+            t_pre = time.monotonic() - t0
+
+            t1 = time.monotonic()
+            if args.lp_only:
+                res = solve_lp(pad_lp(model), IpmOptions())
+                t_solver = time.monotonic() - t1
+                status = (
+                    "OPTIMAL" if res.status == IpmStatus.CONVERGED else res.status.name
+                )
+                row = dict(
+                    instance=f"{name}.txt",
+                    num_sets=model.ncols,
+                    num_elements=model.nrows,
+                    primal=f"{res.primal_objective:.10g}",
+                    dual=f"{res.dual_objective:.10g}",
+                    mip_gap_pct="",
+                    iterations=res.iterations,
+                    incumbent="",
+                    status=status,
+                )
+            else:
+                cfg = SolverConfig(
+                    verbosity=1,
+                    bnb=BnbOptions(hard_time_limit_sec=args.time_limit),
+                )
+                r = branch_and_bound(model, cfg)
+                t_solver = time.monotonic() - t1
+                status = {
+                    MilpStatus.OPTIMAL: "OPTIMAL",
+                    MilpStatus.FEASIBLE: "FEASIBLE",
+                    MilpStatus.NOT_SOLVED: "NO_INCUMBENT",
+                }.get(r.status, "ERROR")
+                row = dict(
+                    instance=f"{name}.txt",
+                    num_sets=model.ncols,
+                    num_elements=model.nrows,
+                    primal=f"{r.objective:.10g}",
+                    dual=f"{r.dual_bound:.10g}",
+                    mip_gap_pct=f"{r.mip_gap * 100.0:.6f}",
+                    iterations=r.total_lp_iterations,
+                    incumbent=f"{r.objective:.10g}",
+                    status=status,
+                )
+            row["time_pre_s"] = f"{t_pre:.2f}"
+            row["time_solver_s"] = f"{t_solver:.2f}"
+            row["time_total_s"] = f"{time.monotonic() - t0:.2f}"
+            rows.append(row)
+            print(
+                f"{name}: {row['status']} primal={row['primal']} "
+                f"dual={row['dual']} total={row['time_total_s']}s"
+            )
+
+    fields = [
+        "instance", "num_sets", "num_elements", "primal", "dual",
+        "mip_gap_pct", "iterations", "time_pre_s", "time_solver_s",
+        "time_total_s", "incumbent", "status",
+    ]
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out_csv} ({len(rows)} rows)")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,7 +71,7 @@ class IpmOptions:
     chol_leaf_size: int = 64
     # PCG stopping: relative residual on the equilibrated system + step cap.
     newton_tol: float = 1e-10
-    newton_max_steps: int = 60
+    newton_max_steps: int = 100
     # Centering exponent: sigma = (mu_aff/mu)**sigma_pow (reference uses 3,
     # gsl_pow_3 at src/sypha_solver.cpp:622).
     sigma_pow: int = 3
@@ -129,6 +129,12 @@ class BnbOptions:
     max_cuts_per_round: int = 50
     var_selection: str = "most_fractional"  # or "highest_cost"
     int_heuristics: str = "nearest_integer_fixing,dual_guided_cover_repair"
+    # checkpoint/resume (new capability, absent in the reference — SURVEY §5
+    # notes a killed run restarts from scratch): snapshot frontier +
+    # incumbent + bounds to this path every interval; resume when the file
+    # exists at startup.  "" disables.
+    checkpoint_path: str = ""
+    checkpoint_interval_sec: float = 60.0
 
     def replace(self, **kw) -> "BnbOptions":
         return dataclasses.replace(self, **kw)

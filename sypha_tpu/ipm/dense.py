@@ -261,7 +261,7 @@ def mehrotra_solve(
         # solve, or a step that blows up primal feasibility, must stop the
         # lane at its current iterate instead of stepping on garbage
         res_p_new = jnp.linalg.norm(A @ x_new - b) / norm_b
-        step_bad = res_p_new > jnp.maximum(10.0 * res_p, 100.0 * opts.tol_feas)
+        step_bad = res_p_new > jnp.maximum(10.0 * res_p, 1e-4)
         solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
 
         new_status = jnp.where(

@@ -363,7 +363,7 @@ def mehrotra_solve_shared(
         res_p_new = jnp.linalg.norm(
             (mask * x_new) @ A.T - b, axis=-1
         ) / norm_b
-        step_bad = res_p_new > jnp.maximum(10.0 * res_p, 100.0 * opts.tol_feas)
+        step_bad = res_p_new > jnp.maximum(10.0 * res_p, 1e-4)
         solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
 
         new_status = jnp.where(

@@ -185,6 +185,49 @@ class _NodeLpSolver:
         return out
 
 
+def _save_checkpoint(path: str, payload: dict, log: Logger) -> None:
+    """Atomic snapshot of the search state (new capability vs the reference,
+    which restarts from scratch on a kill — SURVEY §5 checkpoint/resume)."""
+    import pickle
+    import os
+    import tempfile
+
+    d = os.path.dirname(os.path.abspath(path))
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(payload, f)
+        os.replace(tmp, path)
+        log.debug(f"checkpoint saved to {path} ({payload['processed']} nodes)")
+    except OSError as e:
+        log.warn(f"checkpoint save failed: {e}")
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+
+
+def _load_checkpoint(path: str, log: Logger) -> Optional[dict]:
+    import os
+    import pickle
+
+    if not path or not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        log.info(
+            f"Resuming from checkpoint {path}: {payload['processed']} nodes, "
+            f"incumbent {payload['best_obj']:.12g}, "
+            f"frontier {len(payload['frontier'])}"
+        )
+        return payload
+    except (OSError, pickle.UnpicklingError, KeyError) as e:
+        log.warn(f"checkpoint load failed ({e}); starting fresh")
+        return None
+
+
 def branch_and_bound(
     model: ScpModel, cfg: Optional[SolverConfig] = None, log: Optional[Logger] = None
 ) -> MilpResult:
@@ -356,6 +399,43 @@ def branch_and_bound(
 
     processed = 0
     total_lp_iters = 0
+
+    # ---- checkpoint resume ----
+    ckpt = _load_checkpoint(bnb.checkpoint_path, log) if bnb.checkpoint_path else None
+    if ckpt is not None:
+        frontier = deque(ckpt["frontier"])
+        processed = ckpt["processed"]
+        total_lp_iters = ckpt["total_lp_iters"]
+        global_lower = ckpt["global_lower"]
+        global_lower_raw = ckpt["global_lower_raw"]
+        base.active[:] = ckpt["active"]
+        base.cuts = ckpt["cuts"]
+        root_cuts = ckpt["root_cuts"]
+        solver.refresh()
+        if np.isfinite(ckpt["best_obj"]) and ckpt["best_obj"] < best_obj:
+            best_obj = ckpt["best_obj"]
+            best_solution = ckpt["best_solution"]
+            incumbent_source = ckpt["incumbent_source"]
+    next_ckpt = time.monotonic() + bnb.checkpoint_interval_sec
+
+    def save_checkpoint():
+        _save_checkpoint(
+            bnb.checkpoint_path,
+            {
+                "frontier": list(frontier),
+                "processed": processed,
+                "total_lp_iters": total_lp_iters,
+                "global_lower": global_lower,
+                "global_lower_raw": global_lower_raw,
+                "active": base.active.copy(),
+                "cuts": list(base.cuts),
+                "root_cuts": root_cuts,
+                "best_obj": best_obj,
+                "best_solution": best_solution,
+                "incumbent_source": incumbent_source,
+            },
+            log,
+        )
     gap_tolerance_reached = False
     hard_limit = (
         bnb.hard_time_limit_sec
@@ -411,10 +491,13 @@ def branch_and_bound(
 
     while processed < bnb.max_nodes:
         now = time.monotonic()
-        if hard_limit > 0 and (now - t_start) >= hard_limit:
+        if (hard_limit > 0 and (now - t_start) >= hard_limit) or log.is_stop_requested():
             hard_limit_reached = True
             log.info("BnB hard time limit reached")
             break
+        if bnb.checkpoint_path and now >= next_ckpt:
+            save_checkpoint()
+            next_ckpt = now + bnb.checkpoint_interval_sec
         if np.isfinite(best_obj) and np.isfinite(global_lower):
             cur_gap = compute_mip_gap(best_obj, global_lower)
             if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:
@@ -562,6 +645,10 @@ def branch_and_bound(
                         f"MIP gap stagnant for {bnb.gap_stagnation_window} nodes, "
                         f"reducing LP iterations"
                     )
+
+    # final checkpoint: a time-limited run can resume where it stopped
+    if bnb.checkpoint_path and (hard_limit_reached or frontier):
+        save_checkpoint()
 
     # final bounds
     lo, raw = frontier_lower()
