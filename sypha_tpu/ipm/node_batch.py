@@ -37,6 +37,7 @@ def solve_node_batch(
     fix0: jnp.ndarray,  # [B, n_pad] 1.0 where a column is fixed to 0 (or masked)
     fix1: jnp.ndarray,  # [B, n_pad] 1.0 where a column is fixed to 1
     opts: IpmOptions,
+    warm=None,  # optional (x0, y0, s0) [B, ...] parent iterates
 ):
     """Solve one batch of B&B node LPs sharing the base matrix.
 
@@ -44,10 +45,24 @@ def solve_node_batch(
     columns to 1.0 and zeroes masked columns, so the host sees each node's
     solution in the original variable space; pobj/dobj include the
     objective offset of the fixed-to-1 substitutions.
+
+    ``warm`` warm-starts each lane from its parent's converged iterate
+    shifted back to the interior (the reference cold-starts every node with
+    a dense (AA^T)^-1 solve, src/sypha_solver_init.cpp:543 — flagged in
+    SURVEY §7 hard-parts as the waste a TPU rebuild should fix).
     """
     batch = make_shared_batch(base, fix0.shape[0])
     batch = fix_columns(batch, fix0, fix1)
-    st = mehrotra_solve_shared(batch, opts)
+    if warm is not None:
+        xw, yw, sw = warm
+        eps = 1e-3
+        x0 = jnp.maximum(xw.astype(batch.A.dtype), eps)
+        s0 = jnp.maximum(sw.astype(batch.A.dtype), eps)
+        st = mehrotra_solve_shared(
+            batch, opts, x0, yw.astype(batch.A.dtype), s0
+        )
+    else:
+        st = mehrotra_solve_shared(batch, opts)
     x_masked = st.x * batch.col_mask
     x_full = x_masked + jnp.asarray(fix1, st.x.dtype)
     pobj = jnp.sum(batch.c * x_masked, axis=-1) + batch.obj_offset

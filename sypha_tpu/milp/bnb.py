@@ -143,8 +143,21 @@ class _NodeLpSolver:
         B_real = len(nodes)
         B = 1 if B_real == 1 else _round_up(B_real, self.cfg.bnb.node_batch)
         np_ = self._device_base.n_pad
+        mp = self._device_base.m_pad
         fix0 = np.broadcast_to(self._inactive, (B, np_)).copy()
         fix1 = np.zeros((B, np_), dtype=np.float64)
+        # parent-iterate warm start: all-or-nothing per batch (lanes without
+        # a parent iterate would otherwise need a second compiled variant)
+        use_warm = B_real > 0 and all(
+            n.warm is not None
+            and n.warm[0].shape[0] == np_  # bucket unchanged since parent
+            and n.warm[1].shape[0] == mp
+            for n in nodes
+        )
+        if use_warm:
+            xw = np.empty((B, np_), dtype=np.float32)
+            yw = np.empty((B, mp), dtype=np.float32)
+            sw = np.empty((B, np_), dtype=np.float32)
         for li in range(B):
             node = nodes[min(li, B_real - 1)]
             for d in node.decisions:
@@ -153,9 +166,16 @@ class _NodeLpSolver:
                     fix0[li, d.var] = 0.0
                 else:
                     fix0[li, d.var] = 1.0
+            if use_warm:
+                xw[li], yw[li], sw[li] = node.warm
 
+        warm = (
+            (jnp.asarray(xw), jnp.asarray(yw), jnp.asarray(sw))
+            if use_warm
+            else None
+        )
         st, x_full, pobj, dobj = solve_node_batch(
-            self._device_base, jnp.asarray(fix0), jnp.asarray(fix1), opts
+            self._device_base, jnp.asarray(fix0), jnp.asarray(fix1), opts, warm
         )
         host = jax.device_get(
             {
@@ -166,6 +186,8 @@ class _NodeLpSolver:
                 "y": st.y,
                 "pobj": pobj,
                 "dobj": dobj,
+                "xr": st.x,
+                "sr": st.s,
             }
         )
         n0 = self.base.ncols
@@ -180,6 +202,13 @@ class _NodeLpSolver:
                     "y": host["y"][li][:m_all],
                     "pobj": float(host["pobj"][li]),
                     "dobj": float(host["dobj"][li]),
+                    # padded iterate for children's warm starts (f32 halves
+                    # the frontier's host memory footprint)
+                    "warm": (
+                        host["xr"][li].astype(np.float32),
+                        host["y"][li].astype(np.float32),
+                        host["sr"][li].astype(np.float32),
+                    ),
                 }
             )
         return out
@@ -419,10 +448,22 @@ def branch_and_bound(
     next_ckpt = time.monotonic() + bnb.checkpoint_interval_sec
 
     def save_checkpoint():
+        # strip warm-start iterates: they are a per-session cache, and
+        # pickling them would multiply the snapshot size
+        stripped = []
+        for n in frontier:
+            m2 = BranchNode(
+                decisions=list(n.decisions),
+                cuts=list(n.cuts),
+                depth=n.depth,
+                parent_dual_bound=n.parent_dual_bound,
+                parent_dual_bound_raw=n.parent_dual_bound_raw,
+            )
+            stripped.append(m2)
         _save_checkpoint(
             bnb.checkpoint_path,
             {
-                "frontier": list(frontier),
+                "frontier": stripped,
                 "processed": processed,
                 "total_lp_iters": total_lp_iters,
                 "global_lower": global_lower,
@@ -617,6 +658,7 @@ def branch_and_bound(
                 if child is not None and child is not node:
                     child.parent_dual_bound = node_dual
                     child.parent_dual_bound_raw = node_dual_raw
+                    child.warm = res.get("warm")
                     frontier.append(child)
 
             # adaptive LP-iteration throttling on MIP-gap stagnation
@@ -694,6 +736,25 @@ def branch_and_bound(
         )
 
     log.info("No integer incumbent found within node limit")
+    if bnb.auto_fallback_lp:
+        # reference --bnb-auto-fallback-lp (src/sypha_solver_bnb_driver.cpp:
+        # 1138-1158): degrade MILP -> LP relaxation so the caller still gets
+        # bounds + a fractional solution
+        log.info("Falling back to LP relaxation solve")
+        res = solve_single(BranchNode())
+        if res["status"] in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER):
+            return MilpResult(
+                status=MilpStatus.NOT_SOLVED,
+                objective=np.inf,
+                dual_bound=res["dobj"],
+                mip_gap=np.inf,
+                nodes_processed=processed,
+                total_lp_iterations=total_lp_iters + res["iterations"],
+                solution=np.asarray(res["x"][:n_input]),
+                incumbent_source="lp_relaxation_fallback",
+                wall_time_sec=time.monotonic() - t_start,
+                root_cuts=root_cuts,
+            )
     return MilpResult(
         status=MilpStatus.NOT_SOLVED,
         objective=np.inf,
