@@ -75,6 +75,21 @@ class IpmOptions:
     # Centering exponent: sigma = (mu_aff/mu)**sigma_pow (reference uses 3,
     # gsl_pow_3 at src/sypha_solver.cpp:622).
     sigma_pow: int = 3
+    # Gondzio multiple centrality correctors: extra Newton solves per
+    # iteration reusing the factor, each trading ~1 PCG solve for a longer
+    # step.  Measured on v5e at bench scale: saves ~0.7 iterations per
+    # corrector but each costs ~half an iteration — net loss there, so the
+    # default is 0; may pay off on instances with many more IPM iterations.
+    max_correctors: int = 0
+    # Recompute the f32 preconditioner factor only every k-th iteration.
+    # Measured on v5e at bench scale: a stale factor costs MORE than it
+    # saves (each extra f64 PCG step is ~2 shared GEMM sweeps, and staleness
+    # needs 5-15 of them) and loses endgame convergence — keep at 1 unless
+    # experimenting.
+    factor_refresh_every: int = 1
+    # Complementarity target window for corrector clipping [beta_min, beta_max].
+    corrector_beta_min: float = 0.1
+    corrector_beta_max: float = 10.0
     # Divergence guard: declare numerical failure when mu exceeds this.
     mu_max: float = 1e32
     # Relative-gap stagnation monitor (reference src/sypha_solver.cpp:739-769):

@@ -255,10 +255,16 @@ def mehrotra_solve_shared(
         stall_count=jnp.zeros((B,), jnp.int32),
     )
 
-    def cond(st: IpmState):
+    def cond(st):
         return jnp.any(st.status == IpmStatus.RUNNING)
 
-    def body(st: IpmState) -> IpmState:
+    def one_step(st, Linv_c, dinv_c):
+        """One predictor-corrector step.  ``Linv_c/dinv_c`` is the (possibly
+        stale) f32 preconditioner factor — with factor_refresh_every > 1 the
+        while-loop body factors once and runs several steps against it; the
+        f64 matrix-free PCG absorbs the staleness with extra cheap steps.
+        (A lax.cond-gated refresh does NOT work here: under vmap a batched
+        predicate lowers to select and executes both branches.)"""
         x, y, s = st.x, st.y, st.s
 
         r_b = (mask * x) @ A.T - b
@@ -310,11 +316,8 @@ def mehrotra_solve_shared(
             )
             solve_gate = jnp.maximum(100.0 * cg_tol[:, 0], 1e-3)
         else:
-            Linv, dinv = _shared_factor(
-                A32, d2_eff, row_reg, ft, ridge, opts.chol_leaf_size
-            )
             solve = lambda f: _pcg(
-                Linv, dinv, matvec, f, opts.newton_tol, opts.newton_max_steps
+                Linv_c, dinv_c, matvec, f, opts.newton_tol, opts.newton_max_steps
             )
             solve_gate = jnp.asarray(1e-3, c.dtype)
 
@@ -336,6 +339,36 @@ def mehrotra_solve_shared(
         sigma = (mu_aff / mu) ** opts.sigma_pow
 
         dx, dy, ds, rel_c = newton(r_xs + dxa * dsa - (sigma * mu)[:, None])
+
+        # Gondzio multiple centrality correctors: push complementarity
+        # products toward [beta_min, beta_max] * sigma*mu with extra solves
+        # that reuse the factor; accept a correction only if it lengthens
+        # the step.  (No reference counterpart; on TPU the factor dominates
+        # the iteration, so correctors that save iterations are ~free.)
+        mu_t = (sigma * mu)[:, None]
+        for _ in range(opts.max_correctors):
+            ap = _alpha_max_batch(x, dx)
+            ad = _alpha_max_batch(s, ds)
+            ap_t = jnp.minimum(ap * 1.08 + 0.08, 1.0)[:, None]
+            ad_t = jnp.minimum(ad * 1.08 + 0.08, 1.0)[:, None]
+            v = (x + ap_t * dx) * (s + ad_t * ds)
+            target = jnp.clip(v, opts.corrector_beta_min * mu_t,
+                              opts.corrector_beta_max * mu_t)
+            t = v - target  # residual to remove (0 inside the window)
+            vec1 = t / s_safe
+            fcc = (mask * vec1) @ A.T
+            dyc, _ = solve(fcc)
+            dsc = -(mask * (dyc @ A))
+            dxc = -vec1 - d2 * dsc
+            ap2 = _alpha_max_batch(x, dx + dxc)
+            ad2 = _alpha_max_batch(s, ds + dsc)
+            better = ((ap2 >= ap + 0.01) & (ad2 >= ad)) | (
+                (ad2 >= ad + 0.01) & (ap2 >= ap)
+            )
+            sel_c = better[:, None]
+            dx = jnp.where(sel_c, dx + dxc, dx)
+            dy = jnp.where(sel_c, dy + dyc, dy)
+            ds = jnp.where(sel_c, ds + dsc, ds)
 
         eta = (
             jnp.maximum(opts.eta, 1.0 - mu) if opts.adaptive_eta else jnp.full_like(mu, opts.eta)
@@ -402,5 +435,17 @@ def mehrotra_solve_shared(
             best_gap=best_gap,
             stall_count=stall_count,
         )
+
+    def body(st):
+        if use_cg:
+            Linv = dinv = None
+        else:
+            d2_eff0 = jnp.clip(st.x / st.s, opts.d2_min, opts.d2_max) * mask
+            Linv, dinv = _shared_factor(
+                A32, d2_eff0, row_reg, ft, ridge, opts.chol_leaf_size
+            )
+        for _ in range(max(1, opts.factor_refresh_every)):
+            st = one_step(st, Linv, dinv)
+        return st
 
     return lax.while_loop(cond, body, state0)
