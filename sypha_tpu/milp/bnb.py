@@ -566,7 +566,14 @@ def branch_and_bound(
             )
             next_log = now + bnb.log_interval_sec
 
-        # pop a batch of live nodes
+        # pop a batch of live nodes, best-bound-first with deeper nodes
+        # breaking ties (the window solves as one real batch, so taking the
+        # lowest parent bounds tightens the global bound fastest while the
+        # depth tie-break keeps a diving flavor for incumbents; the
+        # reference processes its window one node at a time, DFS-ish)
+        frontier = deque(
+            sorted(frontier, key=lambda n: (n.parent_dual_bound, -n.depth))
+        )
         batch: List[BranchNode] = []
         while frontier and len(batch) < bnb.node_batch:
             n = frontier.popleft()
