@@ -37,8 +37,10 @@ def main(mine_path, ref_path):
     for name in common:
         m, r = mine[name], ref[name]
         try:
-            mi = float(m.get("incumbent") or m.get("primal"))
-            ri = float(r.get("incumbent") or r.get("primal"))
+            # 'primal' is the final MILP objective in both schemas (the
+            # reference's 'incumbent' column holds its FIRST incumbent)
+            mi = float(m.get("primal") or m.get("incumbent"))
+            ri = float(r.get("primal") or r.get("incumbent"))
         except (TypeError, ValueError):
             continue
         if abs(mi - ri) < 0.5:

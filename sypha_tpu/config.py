@@ -144,6 +144,14 @@ class BnbOptions:
     max_cuts_per_round: int = 50
     var_selection: str = "most_fractional"  # or "highest_cost"
     int_heuristics: str = "nearest_integer_fixing,dual_guided_cover_repair"
+    # Batched strong branching (TPU-native: both children of the top-K
+    # fractional candidates solve as ONE batched LP call): applied at nodes
+    # with depth <= strong_branch_depth, candidate cap strong_branch_cands.
+    # 0 disables (default: on plateaued SCP trees the per-node batched
+    # solve costs more than the tree reduction buys; the reference has only
+    # most-fractional/highest-cost selection).
+    strong_branch_depth: int = 0
+    strong_branch_cands: int = 8
     # checkpoint/resume (new capability, absent in the reference — SURVEY §5
     # notes a killed run restarts from scratch): snapshot frontier +
     # incumbent + bounds to this path every interval; resume when the file

@@ -182,6 +182,7 @@ class _NodeLpSolver:
                 "status": st.status,
                 "iterations": st.iterations,
                 "gap": st.gap,
+                "res_d": st.res_d,
                 "x": x_full,
                 "y": st.y,
                 "pobj": pobj,
@@ -202,6 +203,7 @@ class _NodeLpSolver:
                     "y": host["y"][li][:m_all],
                     "pobj": float(host["pobj"][li]),
                     "dobj": float(host["dobj"][li]),
+                    "res_d": float(host["res_d"][li]),
                     # padded iterate for children's warm starts (f32 halves
                     # the frontier's host memory footprint)
                     "warm": (
@@ -378,9 +380,23 @@ def branch_and_bound(
         solver.refresh()
 
     # ---- phase 6.5: root cut rounds ----
+    _hard = (
+        bnb.hard_time_limit_sec
+        if bnb.hard_time_limit_sec > 0
+        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
+    )
+
+    def time_up() -> bool:
+        return (
+            _hard > 0 and (time.monotonic() - t_start) >= _hard
+        ) or log.is_stop_requested()
+
     root_cuts = 0
     if bnb.cuts_enabled and bnb.cut_rounds_root > 0:
         for cut_round in range(bnb.cut_rounds_root):
+            if time_up():
+                log.info("Time limit reached during root cut rounds")
+                break
             res = solve_single(root)
             if res["status"] not in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER):
                 log.info(f"Cut round {cut_round + 1}: LP solve failed, stopping cuts")
@@ -495,6 +511,40 @@ def branch_and_bound(
     best_mip_gap_seen = np.inf
     node_at_last_improvement = 0
 
+    sb_opts = ipm_opts.replace(max_iter=12, tol_gap=1e-5, tol_feas=1e-6)
+
+    def strong_branch_variable(node: BranchNode, res, cands: np.ndarray) -> int:
+        """Batched strong branching: solve BOTH children of the top-K most
+        fractional candidates as one batched LP call (cheap on the shared-
+        matrix solver) and pick the variable maximizing the worse child
+        bound.  A TPU-native capability the one-LP-at-a-time reference
+        cannot afford."""
+        frac = np.abs(res["x"][cands] - 0.5)
+        top = cands[np.argsort(frac, kind="stable")[: bnb.strong_branch_cands]]
+        children = []
+        for v in top:
+            for val in (0, 1):
+                ch = node.child(int(v), val)
+                children.append(ch)
+                if ch is not None:
+                    ch.warm = res.get("warm")
+        if any(c is None for c in children) or not children:
+            return -1
+        results = solver.solve_nodes(children, sb_opts)
+        best_var, best_score = -1, -np.inf
+        for i, v in enumerate(top):
+            b0, b1 = results[2 * i], results[2 * i + 1]
+
+            def bound(r):
+                if r["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
+                    return np.inf  # child pruned outright
+                return r["dobj"] if np.isfinite(r["dobj"]) else -np.inf
+
+            score = min(bound(b0), bound(b1))
+            if score > best_score:
+                best_score, best_var = score, int(v)
+        return best_var
+
     def frontier_lower():
         lows = [n.parent_dual_bound for n in frontier]
         raws = [n.parent_dual_bound_raw for n in frontier]
@@ -513,8 +563,12 @@ def branch_and_bound(
 
     def mid_bnb_reductions():
         """Mask columns with the improved incumbent; drop nodes fixing a
-        masked column to 1 (replaces reference remap_branch_node)."""
-        nonlocal frontier
+        masked column to 1 (replaces reference remap_branch_node).  When
+        columns were removed, re-solve the ROOT LP of the reduced model:
+        every open node is that root plus fixings, so its bound floors the
+        whole frontier — an improved incumbent can close the tree on the
+        spot instead of grinding through plateau subtrees."""
+        nonlocal frontier, global_lower, global_lower_raw
         r = reduce_by_incumbent()
         r += incumbent_budget_pruning(
             base, best_obj, px_tol, cfg.preprocess_time_limit_sec
@@ -529,6 +583,44 @@ def branch_and_bound(
                 ):
                     keep.append(n)
             frontier = keep
+            res = solve_single(BranchNode())
+            if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
+                # reduced model infeasible = no solution strictly better
+                # than the incumbent exists; the search is over
+                log.info("Reduced-root LP infeasible: incumbent is optimal")
+                frontier.clear()
+                return
+            ok = (
+                res["status"] == IpmStatus.CONVERGED
+                and np.isfinite(res["dobj"])
+                and res["dobj"] <= res["pobj"] + 1e-6
+            )
+            if ok:
+                new_root_raw = res["dobj"]
+                new_root = (
+                    tighten_dual_bound(new_root_raw, int_tol)
+                    if obj_is_integral
+                    else new_root_raw
+                )
+                floored = 0
+                for n in frontier:
+                    if n.parent_dual_bound < new_root:
+                        n.parent_dual_bound = new_root
+                        n.parent_dual_bound_raw = max(
+                            n.parent_dual_bound_raw, new_root_raw
+                        )
+                        floored += 1
+                global_lower = max(global_lower, new_root) if np.isfinite(global_lower) else new_root
+                global_lower_raw = (
+                    max(global_lower_raw, new_root_raw)
+                    if np.isfinite(global_lower_raw)
+                    else new_root_raw
+                )
+                log.info(
+                    f"Reduced-root LP bound {new_root_raw:.6g} -> floor "
+                    f"{new_root:.6g} applied to {floored} frontier nodes"
+                )
+                prune_frontier()
 
     while processed < bnb.max_nodes:
         now = time.monotonic()
@@ -611,14 +703,40 @@ def branch_and_bound(
 
             processed += 1
             total_lp_iters += res["iterations"]
-            reliable = (
-                res["status"] == IpmStatus.CONVERGED
-                and np.isfinite(res["dobj"])
+            sane = (
+                np.isfinite(res["dobj"])
                 and np.isfinite(res["pobj"])
                 and res["dobj"] <= res["pobj"] + 1e-6
             )
-            node_dual_raw = res["dobj"] if reliable else node.parent_dual_bound_raw
-            node_dual = res["dobj"] if reliable else node.parent_dual_bound
+            reliable = sane and res["status"] == IpmStatus.CONVERGED
+            # weak duality: any (near-)dual-feasible iterate's objective is a
+            # valid lower bound even without full convergence — stalled or
+            # iteration-capped node LPs (common with warm starts + the
+            # gap-stall window) can still tighten bounds, with a small
+            # slack for the residual dual infeasibility.
+            weak_ok = (
+                not reliable
+                and sane
+                and res["status"] in (IpmStatus.GAP_STALLED, IpmStatus.MAX_ITER)
+                and res["res_d"] <= 1e-7
+            )
+            if weak_ok:
+                slack = max(1e-9, 1e-7 * abs(res["dobj"]))
+                node_bound = res["dobj"] - slack
+                reliable = True
+            elif reliable:
+                node_bound = res["dobj"]
+            # bounds are monotone down a subtree: never regress below parent
+            node_dual_raw = (
+                max(node_bound, node.parent_dual_bound_raw)
+                if reliable
+                else node.parent_dual_bound_raw
+            )
+            node_dual = (
+                max(node_bound, node.parent_dual_bound)
+                if reliable
+                else node.parent_dual_bound
+            )
             if obj_is_integral and reliable and np.isfinite(node_dual):
                 node_dual = tighten_dual_bound(node_dual, int_tol)
             dual_improved = reliable and (
@@ -655,9 +773,17 @@ def branch_and_bound(
             cands = cands[base.active[cands]]
             if len(cands) == 0:
                 continue
-            var = select_branch_variable(
-                bnb.var_selection, res["x"], base.costs, cands
-            )
+            var = -1
+            if (
+                bnb.strong_branch_depth > 0
+                and node.depth <= bnb.strong_branch_depth
+                and len(cands) > 1
+            ):
+                var = strong_branch_variable(node, res, cands)
+            if var < 0:
+                var = select_branch_variable(
+                    bnb.var_selection, res["x"], base.costs, cands
+                )
             if var < 0:
                 continue
             for value in (0, 1):

@@ -65,9 +65,30 @@ def dual_guided_cover_repair(
     node: Optional[BranchNode] = None,
     tol: float = 1e-6,
 ) -> HeuristicResult:
-    """Keep x>=1-tol variables, greedily add columns scoring
-    (uncoveredGain + dualGain)/cost until all rows hold, then remove
-    redundant columns in reverse cost order (reference :112-342)."""
+    """Multi-threshold repair: seed with x >= threshold for several
+    thresholds (the reference uses only 1-tol, :163-168; different interior
+    points seed very different covers, and incumbent quality drives the
+    budget-pruning reductions that close the tree), repair each greedily by
+    (uncoveredGain + dualGain)/cost, remove redundancy in reverse cost
+    order, return the best."""
+    best = HeuristicResult("dual_guided_cover_repair")
+    for threshold in (1.0 - tol, 0.9, 0.5, 0.3):
+        cand = _repair_from_threshold(
+            model, relaxed_primal, relaxed_dual, node, tol, threshold
+        )
+        if cand.feasible and cand.objective < best.objective:
+            best = cand
+    return best
+
+
+def _repair_from_threshold(
+    model: BaseModel,
+    relaxed_primal: np.ndarray,
+    relaxed_dual: np.ndarray,
+    node: Optional[BranchNode],
+    tol: float,
+    threshold: float,
+) -> HeuristicResult:
     out = HeuristicResult("dual_guided_cover_repair")
     n = model.ncols
     A, rhs = model.rel_csr()
@@ -75,7 +96,7 @@ def dual_guided_cover_repair(
     dual = np.maximum(0.0, relaxed_dual[:nrows]) if len(relaxed_dual) >= nrows else np.zeros(nrows)
 
     x = np.zeros(n)
-    x[relaxed_primal[:n] >= 1.0 - tol] = 1.0
+    x[relaxed_primal[:n] >= threshold] = 1.0
     fixed_zero, fixed_one = _apply_decisions(x, node)
 
     coverage = A @ x
