@@ -1,3 +1,7 @@
+from sypha_tpu.parallel.distributed import (
+    BoundPool,
+    initialize_distributed,
+)
 from sypha_tpu.parallel.mesh import (
     make_mesh,
     pooled_stats,
@@ -8,6 +12,8 @@ from sypha_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "BoundPool",
+    "initialize_distributed",
     "make_mesh",
     "pooled_stats",
     "shard_batch",

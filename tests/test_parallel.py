@@ -82,3 +82,12 @@ def test_shared_batch_sharded(data_dir):
     # LP optimum 429 - eps and <= cheapest node objective
     assert 428.9 <= float(min_dual) <= 450.0, float(min_dual)
     assert float(worst_gap) < 1e-8
+
+
+def test_bound_pool_single_process():
+    from sypha_tpu.parallel.distributed import BoundPool, initialize_distributed
+
+    assert initialize_distributed() == 1
+    pool = BoundPool()
+    out = pool.sync(429.0, 417.5, False)
+    assert out.incumbent == 429.0 and out.dual_bound == 417.5 and not out.stop
