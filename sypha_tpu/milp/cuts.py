@@ -95,6 +95,45 @@ def row_pair_cg(
     return cuts
 
 
+def row_triple_zero_half(
+    model: BaseModel,
+    x: np.ndarray,
+    dual: np.ndarray,
+    tol: float,
+    max_rows: int = 24,
+    max_cuts: int = 30,
+) -> List[Cut]:
+    """{0,1/2}-Chvátal cuts over row triples: aggregate 3 covering rows with
+    weight 1/2 (rhs 3/2 -> 2, coefficients ceil(count/2)) and keep violated
+    ones.  Extends the reference's pair separator to the odd-subset case
+    that weight-1/2 rounding actually strengthens (no reference
+    counterpart; targets the 0.5-heavy LP plateaus of SCP)."""
+    A, rhs = model.rel_csr()
+    nrows_cover = model.nrows_cover  # only unit-rhs covering rows
+    d = dual[:nrows_cover] if len(dual) >= nrows_cover else np.zeros(nrows_cover)
+    active_rows = np.flatnonzero(d > tol)
+    if len(active_rows) < 3:
+        return []
+    active_rows = active_rows[np.argsort(-d[active_rows], kind="stable")][:max_rows]
+    xs = x[: model.ncols]
+    dense = {int(i): np.asarray(A[int(i)].todense()).ravel() for i in active_rows}
+
+    cuts: List[Cut] = []
+    n_act = len(active_rows)
+    for a in range(n_act):
+        for b in range(a + 1, n_act):
+            ab = dense[int(active_rows[a])] + dense[int(active_rows[b])]
+            for c_ in range(b + 1, n_act):
+                agg = 0.5 * (ab + dense[int(active_rows[c_])])
+                cut = _cg_round(agg, 1.5, xs, tol)
+                if cut is not None:
+                    cut.kind = "cg_zero_half_triple"
+                    cuts.append(cut)
+                    if len(cuts) >= max_cuts:
+                        return cuts
+    return cuts
+
+
 def separate_cuts(
     model: BaseModel,
     x: np.ndarray,
@@ -103,8 +142,11 @@ def separate_cuts(
     max_cuts: int = 50,
 ) -> List[Cut]:
     """Run all separators in reference order, capped at max_cuts per round
-    (reference makeCutSeparators :220-226 + driver cap logic)."""
+    (reference makeCutSeparators :220-226 + driver cap logic), plus the
+    zero-half triple separator."""
     cuts = dual_aggregated_cg(model, x, dual, tol)
     if len(cuts) < max_cuts:
         cuts += row_pair_cg(model, x, dual, tol)
+    if len(cuts) < max_cuts:
+        cuts += row_triple_zero_half(model, x, dual, tol)
     return cuts[:max_cuts]
