@@ -455,9 +455,21 @@ class Solver:
                 )
 
         A, b, cvec, n, row_infos = self._build_standard_form()
+        int_idx = np.asarray([v.index() for v in self._variables if v.integer()])
+        # implicit x_j <= 1 rows for binary variables (negated to standard
+        # form: -x_j - s = -1) so the LP relaxation respects the bounds even
+        # when the user added no explicit rows; without them an "integral"
+        # x_j = 2 could be adopted as an incumbent
+        m0, ntot = A.shape
+        k = len(int_idx)
+        A = np.pad(A, ((0, k), (0, k)))
+        b = np.concatenate([b, -np.ones(k)])
+        cvec = np.concatenate([cvec, np.zeros(k)])
+        for r, j in enumerate(int_idx):
+            A[m0 + r, j] = -1.0
+            A[m0 + r, ntot + r] = -1.0
         lp = pad_standard_form(A, b, cvec, n_struct=n)
         np_ = lp.n_pad
-        int_idx = np.asarray([v.index() for v in self._variables if v.integer()])
         int_tol = self._params.integrality_tol
 
         best = np.inf

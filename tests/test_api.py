@@ -149,3 +149,21 @@ def test_api_on_scp41(data_dir):
     assert status == ResultStatus.OPTIMAL
     assert abs(s.objective_value() - 429.0) < 1e-4
     assert abs(s.dual_objective_value() - 429.0) < 1e-4
+
+
+def test_generic_milp_binary_upper_bounds():
+    """Binary vars get implicit x <= 1 rows in the generic MILP path: the
+    relaxation must not produce (and the search must not adopt) x > 1."""
+    s = Solver("ub")
+    xs = [s.MakeBoolVar(f"x{j}") for j in range(2)]
+    ct = s.MakeRowConstraint(3.0, s.infinity())  # x0 + 2 x1 >= 3
+    ct.SetCoefficient(xs[0], 1.0)
+    ct.SetCoefficient(xs[1], 2.0)
+    obj = s.MutableObjective()
+    for x in xs:
+        obj.SetCoefficient(x, 1.0)
+    obj.SetMinimization()
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL
+    assert abs(s.objective_value() - 2.0) < 1e-6
+    assert all(x.solution_value() <= 1.0 + 1e-6 for x in xs)
