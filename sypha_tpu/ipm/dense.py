@@ -264,17 +264,19 @@ def mehrotra_solve(
         step_bad = res_p_new > jnp.maximum(10.0 * res_p, 1e-4)
         solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
 
+        # non-finite step -> GAP_STALLED at the current iterate (numerical
+        # exhaustion, not infeasibility); see ipm.shared
         new_status = jnp.where(
             converged,
             IpmStatus.CONVERGED,
             jnp.where(
-                diverged | ~step_ok,
+                diverged,
                 IpmStatus.INFEASIBLE_OR_NUMERICAL,
                 jnp.where(
                     hit_max,
                     IpmStatus.MAX_ITER,
                     jnp.where(
-                        stalled | solve_failed,
+                        stalled | solve_failed | ~step_ok,
                         IpmStatus.GAP_STALLED,
                         IpmStatus.RUNNING,
                     ),

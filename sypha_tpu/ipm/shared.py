@@ -399,17 +399,21 @@ def mehrotra_solve_shared(
         step_bad = res_p_new > jnp.maximum(10.0 * res_p, 1e-4)
         solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
 
+        # a non-finite step (step_ok False) ends the lane at its current
+        # iterate as GAP_STALLED — numerical exhaustion, NOT infeasibility:
+        # the iterate may already be feasibility- and gap-wise excellent,
+        # and the B&B's weak-duality path can still extract its bound
         new_status = jnp.where(
             converged,
             IpmStatus.CONVERGED,
             jnp.where(
-                diverged | ~step_ok,
+                diverged,
                 IpmStatus.INFEASIBLE_OR_NUMERICAL,
                 jnp.where(
                     hit_max,
                     IpmStatus.MAX_ITER,
                     jnp.where(
-                        stalled | solve_failed,
+                        stalled | solve_failed | ~step_ok,
                         IpmStatus.GAP_STALLED,
                         IpmStatus.RUNNING,
                     ),

@@ -338,6 +338,42 @@ def branch_and_bound(
             np.clip(np.floor(res["x"] + 0.5), 0, 1)
         )
 
+    def usable_bound(res) -> bool:
+        """A status whose dual objective is a valid bound: CONVERGED, or a
+        stalled/capped solve whose dual iterate is (near-)feasible — weak
+        duality (see the main loop's weak_ok path)."""
+        if not (
+            np.isfinite(res["dobj"])
+            and np.isfinite(res["pobj"])
+            and res["dobj"] <= res["pobj"] + 1e-6
+        ):
+            return False
+        if res["status"] == IpmStatus.CONVERGED:
+            return True
+        return (
+            res["status"] in (IpmStatus.GAP_STALLED, IpmStatus.MAX_ITER)
+            and res.get("res_d", np.inf) <= 1e-7
+        )
+
+    def node_coverable(node: Optional[BranchNode]) -> bool:
+        """Sound feasibility certificate for a node's LP: a covering LP
+        (all rows '>=', nonneg coefficients — cuts included) is feasible
+        iff every row can be covered by some allowed column.  Used to
+        distinguish GENUINE infeasibility (fixings/maskings kill a row)
+        from a numerically mis-flagged solve: only the former may prune or
+        prove optimality."""
+        allowed = base.active.copy()
+        if node is not None:
+            for d in node.decisions:
+                if d.value == 0:
+                    allowed[d.var] = False
+                else:
+                    allowed[d.var] = True  # fixed-to-1 columns always help
+        cov = np.zeros(base.nrows_cover, dtype=bool)
+        for j in np.flatnonzero(allowed):
+            cov[base.rows_by_col[j]] = True
+        return bool(cov.all())
+
     def try_heuristics(res, node) -> bool:
         nonlocal global_lower
         improved = False
@@ -353,12 +389,14 @@ def branch_and_bound(
     # ---- phase 3: root LP + heuristics + exact-root check ----
     log.info("BnB preprocessing: solving root LP relaxation")
     res = solve_single(root)
-    root_ok = res["status"] in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER)
+    root_ok = res["status"] in (
+        IpmStatus.CONVERGED, IpmStatus.MAX_ITER, IpmStatus.GAP_STALLED
+    )
     if root_ok:
         try_heuristics(res, root)
         if integral_cover(res) and res["pobj"] < best_obj - px_tol:
             adopt(res["x"], "presolve_exact_root_lp", res["pobj"])
-        if res["status"] == IpmStatus.CONVERGED and res["dobj"] <= res["pobj"] + 1e-6:
+        if usable_bound(res):
             root_dual = res["dobj"]
             global_lower_raw = min(global_lower_raw, root_dual)
             if obj_is_integral:
@@ -398,10 +436,12 @@ def branch_and_bound(
                 log.info("Time limit reached during root cut rounds")
                 break
             res = solve_single(root)
-            if res["status"] not in (IpmStatus.CONVERGED, IpmStatus.MAX_ITER):
+            if res["status"] not in (
+                IpmStatus.CONVERGED, IpmStatus.MAX_ITER, IpmStatus.GAP_STALLED
+            ):
                 log.info(f"Cut round {cut_round + 1}: LP solve failed, stopping cuts")
                 break
-            if res["status"] == IpmStatus.CONVERGED and res["dobj"] <= res["pobj"] + 1e-6:
+            if usable_bound(res):
                 cut_dual = res["dobj"]
                 global_lower_raw = min(global_lower_raw, cut_dual)
                 if obj_is_integral:
@@ -444,6 +484,10 @@ def branch_and_bound(
 
     processed = 0
     total_lp_iters = 0
+    # feasible nodes whose LP failed numerically: pruned from the search
+    # (reference behavior) but their bounds cap the final claim — we never
+    # report OPTIMAL over an unexplored feasible subtree
+    numerical_failures: List[BranchNode] = []
 
     # ---- checkpoint resume ----
     ckpt = _load_checkpoint(bnb.checkpoint_path, log) if bnb.checkpoint_path else None
@@ -546,8 +590,13 @@ def branch_and_bound(
         return best_var
 
     def frontier_lower():
-        lows = [n.parent_dual_bound for n in frontier]
-        raws = [n.parent_dual_bound_raw for n in frontier]
+        open_nodes = list(frontier) + [
+            n
+            for n in numerical_failures
+            if n.parent_dual_bound < best_obj - px_tol
+        ]
+        lows = [n.parent_dual_bound for n in open_nodes]
+        raws = [n.parent_dual_bound_raw for n in open_nodes]
         lo = min(lows) if lows else np.inf
         raw = min(raws) if raws else np.inf
         return lo, raw
@@ -585,8 +634,10 @@ def branch_and_bound(
             frontier = keep
             res = solve_single(BranchNode())
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
-                # reduced model infeasible = no solution strictly better
-                # than the incumbent exists; the search is over
+                if node_coverable(None):
+                    return  # numerical failure; keep searching as-is
+                # reduced model genuinely infeasible = no solution strictly
+                # better than the incumbent exists; the search is over
                 log.info("Reduced-root LP infeasible: incumbent is optimal")
                 frontier.clear()
                 return
@@ -684,10 +735,22 @@ def branch_and_bound(
 
         for node, res in zip(batch, results):
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
-                # an infeasible node is simply pruned; an infeasible *root*
-                # with an incumbent means presolve proved the incumbent
-                # optimal (reductions only mask columns that cannot improve
-                # on it), so only abort when there is no incumbent either
+                if node_coverable(node):
+                    # the node LP is actually feasible: the failure is
+                    # numerical.  The reference prunes failed non-root
+                    # nodes and continues (src/sypha_solver_bnb_driver.cpp:
+                    # 844-859); we do the same but keep the node's parent
+                    # bound alive in the global bound via bookkeeping.
+                    log.warn(
+                        f"node LP numerical failure (depth {node.depth}); "
+                        "pruning node, bound unchanged"
+                    )
+                    numerical_failures.append(node)
+                    continue
+                # genuinely infeasible node (fixings/maskings kill a row):
+                # prune; an infeasible *root* with an incumbent means
+                # presolve proved the incumbent optimal.  Only abort when
+                # there is no incumbent either.
                 if processed == 0 and not np.isfinite(best_obj):
                     log.info("Root LP infeasible or numerically unstable; aborting BnB")
                     return MilpResult(
@@ -825,23 +888,32 @@ def branch_and_bound(
     if bnb.checkpoint_path and (hard_limit_reached or frontier):
         save_checkpoint()
 
-    # final bounds
+    # final bounds; numerically-failed feasible subtrees cap the claim
+    open_failures = [
+        n for n in numerical_failures if n.parent_dual_bound < best_obj - px_tol
+    ]
     lo, raw = frontier_lower()
     if np.isfinite(lo):
         global_lower = lo
-    elif not frontier and np.isfinite(best_obj):
+    elif not frontier and not open_failures and np.isfinite(best_obj):
         global_lower = best_obj
     if np.isfinite(raw):
         global_lower_raw = raw
-    elif not frontier and np.isfinite(best_obj):
+    elif not frontier and not open_failures and np.isfinite(best_obj):
         global_lower_raw = best_obj
 
     wall = time.monotonic() - t_start
     log.info(f"BnB processed {processed} nodes, {total_lp_iters} total LP iterations")
+    if open_failures:
+        log.warn(
+            f"{len(open_failures)} feasible nodes lost to numerical LP "
+            "failures; optimality cannot be claimed past their bounds"
+        )
 
     if np.isfinite(best_obj):
         proven = (
             (not frontier or gap_tolerance_reached)
+            and not open_failures
             and not hard_limit_reached
             and processed < bnb.max_nodes
         )
