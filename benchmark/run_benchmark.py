@@ -46,7 +46,8 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     mode = "lp" if args.lp_only else "milp"
-    out_csv = os.path.join(args.out, f"sypha_tpu_{mode}_results.csv")
+    fam_tag = args.families.replace(",", "_")
+    out_csv = os.path.join(args.out, f"sypha_tpu_{mode}_{fam_tag}_results.csv")
 
     rows = []
     for fam in args.families.split(","):

@@ -15,11 +15,18 @@ all panel/trailing updates as MXU matmuls:
       X[k+nb:, k]   = -X[k+nb:, k+nb:] (L[k+nb:, k] Dinv_k)
 
 STATUS: experimental, correct in interpret mode (see tests/test_pallas_chol.py)
-but NOT yet compiled on TPU: Mosaic rejects the (8, 8)-shaped intermediates of
-the micro-factorization ("Invalid type" — VMEM vector tiles need a 128-wide
-lane dimension).  Compiling it needs the micro-kernel restated on (8, 128)
-tiles; until then ops.linalg.block_chol_inverse (pure batched XLA GEMMs,
-measured at the same throughput ballpark) remains the production factor path.
+but NOT compiled on TPU in this environment.  Findings so far:
+  * sub-128-lane iota shapes are rejected ("Invalid type") — worked around
+    by building (8, 128) index tiles and slicing;
+  * even minimal probes that STORE to sub-tile ref slices
+    (``o_ref[:, 8:, :8] = P``) crash this environment's remote Mosaic
+    compile helper with an opaque HTTP 500 (no lowering diagnostics), while
+    full-block batched dot_general kernels compile fine.
+The blocked-in-place algorithm is inherently sub-tile-store heavy, so the
+compiled path needs either a diagnosable local Mosaic toolchain or a
+restructuring to full-tile writes.  Until then
+ops.linalg.block_chol_inverse (pure batched XLA GEMMs, measured at the same
+throughput ballpark) remains the production factor path.
 """
 
 from __future__ import annotations
@@ -41,16 +48,17 @@ def _chol8_and_inv(D):
     (unsupported in Pallas TPU lowering): columns accumulate via one-hot
     masks built from 2D iota.
     """
-    rows = jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 0)  # row index
-    cols = jax.lax.broadcasted_iota(jnp.int32, (NB, NB), 1)  # col index
+    # Mosaic rejects sub-128-lane iota shapes: build index grids at the
+    # native (8, 128) tile and slice down to (8, 8)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 0)[:, :NB]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (NB, 128), 1)[:, :NB]
+    col_line = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)[:, :NB]
 
     L = jnp.zeros_like(D)
     for j in range(NB):
         d = jnp.sqrt(jnp.maximum(D[:, j, j], 1e-30))
         col = D[:, :, j] / d[:, None]  # [T, 8]
-        keep = (jax.lax.broadcasted_iota(jnp.int32, (1, NB), 1) >= j).astype(
-            D.dtype
-        )
+        keep = (col_line >= j).astype(D.dtype)
         col = col * keep[0][None, :]
         onehot_j = (cols == j).astype(D.dtype)  # [8, 8], column j
         L = L + col[:, :, None] * onehot_j[None, :, :]
@@ -63,9 +71,7 @@ def _chol8_and_inv(D):
         for i in range(j, NB):
             rhs = 1.0 if i == j else 0.0
             acc = rhs - jnp.sum(L[:, i, :] * x, axis=-1)
-            onehot_i = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, NB), 1) == i
-            ).astype(L.dtype)[0]
+            onehot_i = (col_line == i).astype(L.dtype)[0]
             x = x + (acc / L[:, i, i])[:, None] * onehot_i[None, :]
         onehot_j = (cols == j).astype(L.dtype)
         Linv = Linv + x[:, :, None] * onehot_j[None, :, :]
