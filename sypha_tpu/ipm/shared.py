@@ -116,7 +116,19 @@ def fix_columns(
 # ---------------------------------------------------------------------------
 
 
-def _shared_factor(A32, d2_eff, row_reg, ft, ridge: float, leaf_size: int):
+def _reducers(axis_name):
+    """Cross-chip reducers for the tensor-parallel (column-sharded) mode;
+    identity when axis_name is None (single-chip / lane-sharded modes)."""
+    if axis_name is None:
+        return (lambda v: v), (lambda v: v), (lambda: 1)
+    return (
+        lambda v: lax.psum(v, axis_name),
+        lambda v: lax.pmin(v, axis_name),
+        lambda: lax.psum(1, axis_name),
+    )
+
+
+def _shared_factor(A32, d2_eff, row_reg, ft, ridge: float, leaf_size: int, psum=None):
     """f32 factor of M_b = A diag(d2_eff_b) A^T + diag(row_reg), batched.
 
     Same structure as ops.spd.normal_eq_factor but with A shared: Aw is the
@@ -125,6 +137,8 @@ def _shared_factor(A32, d2_eff, row_reg, ft, ridge: float, leaf_size: int):
     w = jnp.sqrt(d2_eff).astype(ft)
     Aw = A32[None, :, :] * w[:, None, :]
     M = jnp.einsum("bik,bjk->bij", Aw, Aw, preferred_element_type=ft)
+    if psum is not None:
+        M = psum(M)  # n-axis is sharded: partial Gram matrices sum over chips
     m = M.shape[-1]
     M = M + row_reg.astype(ft)[:, None, :] * jnp.eye(m, dtype=ft)
     diag = jnp.diagonal(M, axis1=-2, axis2=-1)
@@ -162,7 +176,7 @@ def use_cg_strategy(opts: IpmOptions, m_pad: int) -> bool:
     return False
 
 
-def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32, use_cg: bool):
+def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32, use_cg: bool, axis_name=None):
     """Mehrotra initial point, batched over lanes of the shared matrix
     (reference src/sypha_solver_init.cpp:543-652)."""
     from sypha_tpu.ops.spd import pcg_solve
@@ -170,35 +184,37 @@ def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32, use_cg: bo
     A, b, c, mask = batch.A, batch.b, batch.c, batch.col_mask
     ft, ridge = _factor_params(opts)
     row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
+    psum, pmin, _ = _reducers(axis_name)
 
     def matvec(v):
-        return (mask * (v @ A)) @ A.T + batch.row_pad * v
+        return psum((mask * (v @ A)) @ A.T) + batch.row_pad * v
 
     if use_cg:
-        diag = mask @ (A * A).T + row_reg
+        diag = psum(mask @ (A * A).T) + row_reg
         solve = lambda f: pcg_solve(
             lambda r: r / jnp.maximum(diag, 1e-300),
             matvec, f, 1e-12, opts.cg_max_iter,
         )[0]
     else:
         Linv, dinv = _shared_factor(
-            A32, mask, row_reg, ft, ridge, opts.chol_leaf_size
+            A32, mask, row_reg, ft, ridge, opts.chol_leaf_size,
+            psum if axis_name else None,
         )
         solve = lambda f: _pcg(Linv, dinv, matvec, f, 1e-12, opts.newton_max_steps)[0]
 
     vy = solve(b)
     x = mask * (vy @ A)
-    Ac = (mask * c) @ A.T
+    Ac = psum((mask * c) @ A.T)
     y = solve(Ac)
     s = c - mask * (y @ A)
 
-    delta_x = jnp.maximum(-1.5 * jnp.min(x, axis=-1, keepdims=True), 0.0)
-    delta_s = jnp.maximum(-1.5 * jnp.min(s, axis=-1, keepdims=True), 0.0)
+    delta_x = jnp.maximum(-1.5 * pmin(jnp.min(x, axis=-1, keepdims=True)), 0.0)
+    delta_s = jnp.maximum(-1.5 * pmin(jnp.min(s, axis=-1, keepdims=True)), 0.0)
     x_hat = x + delta_x
     s_hat = s + delta_s
-    p = jnp.sum(x_hat * s_hat, axis=-1, keepdims=True)
-    x = x_hat + 0.5 * p / jnp.sum(s_hat, axis=-1, keepdims=True)
-    s = s_hat + 0.5 * p / jnp.sum(x_hat, axis=-1, keepdims=True)
+    p = psum(jnp.sum(x_hat * s_hat, axis=-1, keepdims=True))
+    x = x_hat + 0.5 * p / psum(jnp.sum(s_hat, axis=-1, keepdims=True))
+    s = s_hat + 0.5 * p / psum(jnp.sum(x_hat, axis=-1, keepdims=True))
     return x, y, s
 
 
@@ -215,6 +231,7 @@ def mehrotra_solve_shared(
     x0=None,
     y0=None,
     s0=None,
+    axis_name=None,
 ) -> IpmState:
     """Batched Mehrotra predictor-corrector over a SharedLpBatch.
 
@@ -231,12 +248,17 @@ def mehrotra_solve_shared(
     row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
     use_cg = use_cg_strategy(opts, batch.m_pad)
     A2 = A * A if use_cg else None  # Jacobi diagonal source (hoisted)
+    # tensor-parallel mode: the n (column) axis is sharded over axis_name;
+    # every sum/min over n and every A-product onto the row space reduces
+    # across chips.  axis_name=None degrades to identity reducers.
+    psum, pmin, axis_size = _reducers(axis_name)
+    n_total = n_pad * axis_size()
 
     norm_b = 1.0 + jnp.linalg.norm(b, axis=-1)
-    norm_c = 1.0 + jnp.linalg.norm(c, axis=-1)
+    norm_c = 1.0 + jnp.sqrt(psum(jnp.sum(c * c, axis=-1)))
 
     if x0 is None:
-        x, y, s = shared_initial_point(batch, opts, A32, use_cg)
+        x, y, s = shared_initial_point(batch, opts, A32, use_cg, axis_name)
     else:
         x, y, s = x0, y0, s0
 
@@ -245,7 +267,7 @@ def mehrotra_solve_shared(
         x=x,
         y=y,
         s=s,
-        mu=jnp.sum(x * s, axis=-1) / n_pad,
+        mu=psum(jnp.sum(x * s, axis=-1)) / n_total,
         gap=one,
         res_p=one,
         res_d=one,
@@ -267,15 +289,15 @@ def mehrotra_solve_shared(
         predicate lowers to select and executes both branches.)"""
         x, y, s = st.x, st.y, st.s
 
-        r_b = (mask * x) @ A.T - b
+        r_b = psum((mask * x) @ A.T) - b
         r_c = mask * (y @ A) + s - c
-        mu = jnp.sum(x * s, axis=-1) / n_pad
+        mu = psum(jnp.sum(x * s, axis=-1)) / n_total
 
-        pobj = jnp.sum(c * x, axis=-1)
+        pobj = psum(jnp.sum(c * x, axis=-1))
         dobj = jnp.sum(b * y, axis=-1)
         gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj))
         res_p = jnp.linalg.norm(r_b, axis=-1) / norm_b
-        res_d = jnp.linalg.norm(r_c, axis=-1) / norm_c
+        res_d = jnp.sqrt(psum(jnp.sum(r_c * r_c, axis=-1))) / norm_c
 
         feasible = (res_p < opts.tol_feas) & (res_d < opts.tol_feas)
         tiny_mu = mu < opts.mu_tol_hard
@@ -299,12 +321,12 @@ def mehrotra_solve_shared(
         d2_eff = d2 * mask
 
         def matvec(v):
-            return (d2_eff * (v @ A)) @ A.T + batch.row_pad * v
+            return psum((d2_eff * (v @ A)) @ A.T) + batch.row_pad * v
 
         if use_cg:
             # Jacobi-CG Krylov path with the reference's adaptive tolerance
             # schedule per IPM iteration (src/sypha_solver.cpp:552-553)
-            diag = d2_eff @ A2.T + row_reg
+            diag = psum(d2_eff @ A2.T) + row_reg
             cg_tol = jnp.maximum(
                 opts.cg_tol_final,
                 opts.cg_tol_initial
@@ -325,7 +347,7 @@ def mehrotra_solve_shared(
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
-            f = (mask * (vec1 - d2 * r_c)) @ A.T - r_b
+            f = psum((mask * (vec1 - d2 * r_c)) @ A.T) - r_b
             dy, solve_rel = solve(f)
             ds = -r_c - mask * (dy @ A)
             dx = -vec1 - d2 * ds
@@ -333,9 +355,11 @@ def mehrotra_solve_shared(
 
         r_xs = x * s
         dxa, dya, dsa, rel_a = newton(r_xs)
-        a_p = _alpha_max_batch(x, dxa)[:, None]
-        a_d = _alpha_max_batch(s, dsa)[:, None]
-        mu_aff = jnp.sum((x + a_p * dxa) * (s + a_d * dsa), axis=-1) / n_pad
+        a_p = pmin(_alpha_max_batch(x, dxa))[:, None]
+        a_d = pmin(_alpha_max_batch(s, dsa))[:, None]
+        mu_aff = psum(
+            jnp.sum((x + a_p * dxa) * (s + a_d * dsa), axis=-1)
+        ) / n_total
         sigma = (mu_aff / mu) ** opts.sigma_pow
 
         dx, dy, ds, rel_c = newton(r_xs + dxa * dsa - (sigma * mu)[:, None])
@@ -373,17 +397,19 @@ def mehrotra_solve_shared(
         eta = (
             jnp.maximum(opts.eta, 1.0 - mu) if opts.adaptive_eta else jnp.full_like(mu, opts.eta)
         )
-        alpha_p = jnp.minimum(1.0, eta * _alpha_max_batch(x, dx))[:, None]
-        alpha_d = jnp.minimum(1.0, eta * _alpha_max_batch(s, ds))[:, None]
+        alpha_p = jnp.minimum(1.0, eta * pmin(_alpha_max_batch(x, dx)))[:, None]
+        alpha_d = jnp.minimum(1.0, eta * pmin(_alpha_max_batch(s, ds)))[:, None]
 
         x_new = x + alpha_p * dx
         y_new = y + alpha_d * dy
         s_new = s + alpha_d * ds
 
+        finite_local = jnp.all(jnp.isfinite(x_new), axis=-1) & jnp.all(
+            jnp.isfinite(s_new), axis=-1
+        )
         step_ok = (
-            jnp.all(jnp.isfinite(x_new), axis=-1)
+            (psum(1.0 - finite_local.astype(x.dtype)) == 0.0)
             & jnp.all(jnp.isfinite(y_new), axis=-1)
-            & jnp.all(jnp.isfinite(s_new), axis=-1)
         )
         # linear-solve quality gates: a Newton system the (Jacobi-)CG could
         # not solve to within ~100x of its requested tolerance produces a
@@ -394,7 +420,7 @@ def mehrotra_solve_shared(
         # residual gate on dy can see).  A rejected step terminates the lane
         # at its current (best) iterate with GAP_STALLED.
         res_p_new = jnp.linalg.norm(
-            (mask * x_new) @ A.T - b, axis=-1
+            psum((mask * x_new) @ A.T) - b, axis=-1
         ) / norm_b
         step_bad = res_p_new > jnp.maximum(10.0 * res_p, 1e-4)
         solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad
@@ -446,7 +472,8 @@ def mehrotra_solve_shared(
         else:
             d2_eff0 = jnp.clip(st.x / st.s, opts.d2_min, opts.d2_max) * mask
             Linv, dinv = _shared_factor(
-                A32, d2_eff0, row_reg, ft, ridge, opts.chol_leaf_size
+                A32, d2_eff0, row_reg, ft, ridge, opts.chol_leaf_size,
+                psum if axis_name else None,
             )
         for _ in range(max(1, opts.factor_refresh_every)):
             st = one_step(st, Linv, dinv)

@@ -9,6 +9,7 @@ from sypha_tpu.parallel.mesh import (
     shard_shared_batch,
     solve_lp_batch_sharded,
     solve_shared_batch_sharded,
+    solve_shared_batch_tensor_parallel,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "shard_shared_batch",
     "solve_lp_batch_sharded",
     "solve_shared_batch_sharded",
+    "solve_shared_batch_tensor_parallel",
 ]

@@ -119,6 +119,80 @@ def solve_shared_batch_sharded(
     )
 
 
+TP_AXIS = "tp"
+
+
+def solve_shared_batch_tensor_parallel(
+    batch,
+    opts: Optional[IpmOptions] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """Tensor-parallel solve of ONE SharedLpBatch whose COLUMN axis is
+    sharded over the mesh: each chip holds a slab A[:, k] of the constraint
+    matrix plus the matching slices of c/col_mask/x/s, while y/b stay
+    replicated.  Every A-product onto the row space psums over ICI; the
+    m x m normal-matrix factor is psum-assembled and factored redundantly
+    per chip.  This is the scale-the-big-dimension mechanism for instances
+    whose columns outgrow one chip's HBM (SURVEY §5 long-context analogue);
+    lane sharding (solve_shared_batch_sharded) remains the throughput mode.
+
+    ``batch.n_pad`` must divide evenly by the mesh size.
+    """
+    from sypha_tpu.ipm.shared import SharedLpBatch, mehrotra_solve_shared
+
+    opts = opts or IpmOptions()
+    mesh = mesh or make_mesh(axis=TP_AXIS)
+    k = mesh.devices.size
+    if batch.n_pad % k:
+        raise ValueError(f"n_pad {batch.n_pad} not divisible by {k} chips")
+
+    def per_chip(A, row_pad, b, c, mask, off):
+        local = SharedLpBatch(
+            A=A, b=b, c=c, col_mask=mask, row_pad=row_pad, obj_offset=off
+        )
+        st = mehrotra_solve_shared(local, opts, axis_name=TP_AXIS)
+        return st
+
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=(
+            P(None, TP_AXIS),  # A column slabs
+            P(),               # row_pad replicated
+            P(),               # b replicated
+            P(None, TP_AXIS),  # c
+            P(None, TP_AXIS),  # col_mask
+            P(),               # obj_offset replicated
+        ),
+        # x/s/d2-side state comes back column-sharded; y/scalars replicated
+        out_specs=IpmState_tp_spec(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        batch.A, batch.row_pad, batch.b, batch.c, batch.col_mask, batch.obj_offset
+    )
+
+
+def IpmState_tp_spec():
+    """PartitionSpecs of an IpmState under tensor parallelism: primal-side
+    vectors sharded on their trailing (n) axis, everything else replicated."""
+    from sypha_tpu.ipm.dense import IpmState
+
+    return IpmState(
+        x=P(None, TP_AXIS),
+        y=P(),
+        s=P(None, TP_AXIS),
+        mu=P(),
+        gap=P(),
+        res_p=P(),
+        res_d=P(),
+        iterations=P(),
+        status=P(),
+        best_gap=P(),
+        stall_count=P(),
+    )
+
+
 def solve_lp_batch_sharded(
     lp: PaddedLp,
     opts: Optional[IpmOptions] = None,

@@ -91,3 +91,38 @@ def test_bound_pool_single_process():
     pool = BoundPool()
     out = pool.sync(429.0, 417.5, False)
     assert out.incumbent == 429.0 and out.dual_bound == 417.5 and not out.stop
+
+
+def test_tensor_parallel_matches_single_chip(data_dir):
+    """Column-sharded (tensor-parallel) solve of one shared batch must match
+    the single-chip solve bit-for-bit-ish on scp41 (8-way column sharding)."""
+    import jax
+    import numpy as np
+
+    from sypha_tpu import pad_lp, read_scp_file
+    from sypha_tpu.config import IpmOptions
+    from sypha_tpu.core.status import IpmStatus
+    from sypha_tpu.ipm.shared import make_shared_batch, mehrotra_solve_shared
+    from sypha_tpu.parallel.mesh import (
+        TP_AXIS,
+        make_mesh,
+        solve_shared_batch_tensor_parallel,
+    )
+
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    lp = pad_lp(model, m_pad=208, n_pad=1280)  # 1280 = 8 x 160
+    batch = make_shared_batch(lp, 2)
+    opts = IpmOptions()
+
+    st_ref = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(batch)
+    mesh = make_mesh(8, axis=TP_AXIS)
+    st_tp = solve_shared_batch_tensor_parallel(batch, opts, mesh)
+
+    assert np.all(np.asarray(st_tp.status) == IpmStatus.CONVERGED)
+    obj_ref = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st_ref.x))
+    obj_tp = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st_tp.x))
+    np.testing.assert_allclose(obj_tp, 429.0, rtol=1e-6)
+    np.testing.assert_allclose(obj_tp, obj_ref, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(st_tp.y), np.asarray(st_ref.y), atol=1e-6
+    )
