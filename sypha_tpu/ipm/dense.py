@@ -221,7 +221,10 @@ def mehrotra_solve(
             )
             solve_gate = jnp.asarray(1e-3, c.dtype)
 
-        s_safe = jnp.maximum(s, 1e-300)
+        # 1e-30 floor (not 1e-300): sigma*mu/s with s ~ 1e-300 overflows to
+        # inf in the Newton rhs and NaNs the step; alpha-max keeps the
+        # clamped coordinate's step sane
+        s_safe = jnp.maximum(s, 1e-30)
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
