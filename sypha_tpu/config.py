@@ -69,9 +69,14 @@ class IpmOptions:
     factor_ridge: float | None = None
     # Leaf size of the block-recursive Cholesky inverse.
     chol_leaf_size: int = 64
-    # PCG stopping: relative residual on the equilibrated system + step cap.
+    # PCG stopping: relative residual + step cap.  A fresh f32 factor needs
+    # ~2-4 f64 PCG steps; the cap is a backstop, and because the batched PCG
+    # while_loop runs until EVERY lane meets tol, a large cap lets one
+    # struggling lane stall the whole batch (measured: cap 100 -> 298
+    # solves/s, cap 16 -> 625 at identical convergence/golden accuracy).
+    # Lanes the cap cuts short are handled by the solve-quality gates.
     newton_tol: float = 1e-10
-    newton_max_steps: int = 100
+    newton_max_steps: int = 16
     # Centering exponent: sigma = (mu_aff/mu)**sigma_pow (reference uses 3,
     # gsl_pow_3 at src/sypha_solver.cpp:622).
     sigma_pow: int = 3

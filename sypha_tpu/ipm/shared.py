@@ -338,6 +338,15 @@ def mehrotra_solve_shared(
             )
             solve_gate = jnp.maximum(100.0 * cg_tol[:, 0], 1e-3)
         else:
+            if Linv_c is None:
+                # default path: factor inline so XLA schedules/fuses it with
+                # the residual work (hoisting it to the macro-iteration body
+                # measured ~20% slower); a carried stale factor is only used
+                # when factor_refresh_every > 1
+                Linv_c, dinv_c = _shared_factor(
+                    A32, d2_eff, row_reg, ft, ridge, opts.chol_leaf_size,
+                    psum if axis_name else None,
+                )
             solve = lambda f: _pcg(
                 Linv_c, dinv_c, matvec, f, opts.newton_tol, opts.newton_max_steps
             )
@@ -470,8 +479,8 @@ def mehrotra_solve_shared(
         )
 
     def body(st):
-        if use_cg:
-            Linv = dinv = None
+        if use_cg or opts.factor_refresh_every <= 1:
+            Linv = dinv = None  # one_step factors inline (or needs none)
         else:
             d2_eff0 = jnp.clip(st.x / st.s, opts.d2_min, opts.d2_max) * mask
             Linv, dinv = _shared_factor(

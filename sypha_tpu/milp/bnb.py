@@ -326,7 +326,12 @@ def branch_and_bound(
 
     solver = _NodeLpSolver(base, cfg, log)
     root = BranchNode()
-    ipm_opts = cfg.ipm
+    # B&B node LPs (mask-heavy lanes, warm starts, reduced models) are much
+    # harder on the f32-preconditioned PCG than clean instance batches:
+    # give them more PCG headroom than the throughput-tuned LP default
+    ipm_opts = cfg.ipm.replace(
+        newton_max_steps=max(cfg.ipm.newton_max_steps, 48)
+    )
 
     def solve_single(node: BranchNode):
         return solver.solve_nodes([node], ipm_opts)[0]

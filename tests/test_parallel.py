@@ -123,6 +123,7 @@ def test_tensor_parallel_matches_single_chip(data_dir):
     obj_tp = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st_tp.x))
     np.testing.assert_allclose(obj_tp, 429.0, rtol=1e-6)
     np.testing.assert_allclose(obj_tp, obj_ref, rtol=1e-8)
-    np.testing.assert_allclose(
-        np.asarray(st_tp.y), np.asarray(st_ref.y), atol=1e-6
-    )
+    # duals of a degenerate LP are not unique; compare the dual OBJECTIVE
+    dobj_ref = np.einsum("bm,bm->b", np.asarray(batch.b), np.asarray(st_ref.y))
+    dobj_tp = np.einsum("bm,bm->b", np.asarray(batch.b), np.asarray(st_tp.y))
+    np.testing.assert_allclose(dobj_tp, dobj_ref, rtol=1e-7)
