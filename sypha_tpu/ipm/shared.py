@@ -134,9 +134,16 @@ def _shared_factor(A32, d2_eff, row_reg, ft, ridge: float, leaf_size: int, psum=
     Same structure as ops.spd.normal_eq_factor but with A shared: Aw is the
     broadcasted [B, m, n] weighted matrix (one f32 cast of A, reused).
     """
+    from sypha_tpu.ops.pallas_gram import batched_gram
+
     w = jnp.sqrt(d2_eff).astype(ft)
     Aw = A32[None, :, :] * w[:, None, :]
-    M = jnp.einsum("bik,bjk->bij", Aw, Aw, preferred_element_type=ft)
+    # the Gram matrix is the biggest FLOP block of the iteration; a Pallas
+    # kernel that pins the lane tile in VMEM beats the XLA einsum ~1.3x on
+    # TPU (ops.pallas_gram; einsum fallback on CPU / oversized tiles)
+    M = batched_gram(Aw) if ft == jnp.float32 else jnp.einsum(
+        "bik,bjk->bij", Aw, Aw, preferred_element_type=ft
+    )
     if psum is not None:
         M = psum(M)  # n-axis is sharded: partial Gram matrices sum over chips
     m = M.shape[-1]
