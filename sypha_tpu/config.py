@@ -135,7 +135,7 @@ class BnbOptions:
     # role (and default size is deliberately smaller than) the reference's
     # DeviceNodeWindow capacity of 1000 — we actually solve the window
     # concurrently rather than staging it.
-    node_batch: int = 32
+    node_batch: int = 64
     gap_stall_branch_iters: int = 5
     gap_stall_min_improv_pct: float = 1.0
     integrality_tol: float = 1e-6

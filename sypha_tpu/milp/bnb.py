@@ -379,11 +379,12 @@ def branch_and_bound(
             cov[base.rows_by_col[j]] = True
         return bool(cov.all())
 
-    def try_heuristics(res, node) -> bool:
+    def try_heuristics(res, node, thorough: bool = True) -> bool:
         nonlocal global_lower
         improved = False
         for h in run_heuristics(
-            base, bnb.int_heuristics, res["x"], res["y"], node, int_tol
+            base, bnb.int_heuristics, res["x"], res["y"], node, int_tol,
+            thorough=thorough,
         ):
             if h.feasible and h.objective < best_obj - px_tol:
                 adopt(h.solution, h.name, h.objective)
@@ -819,7 +820,8 @@ def branch_and_bound(
                 )
                 or dual_improved
             )
-            if run_h and try_heuristics(res, node):
+            # cheap 2-threshold repair per node; full sweep every 16th
+            if run_h and try_heuristics(res, node, thorough=(processed % 16 == 1)):
                 node_at_last_improvement = processed
                 prune_frontier()
                 mid_bnb_reductions()

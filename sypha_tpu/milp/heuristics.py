@@ -64,6 +64,7 @@ def dual_guided_cover_repair(
     relaxed_dual: np.ndarray,
     node: Optional[BranchNode] = None,
     tol: float = 1e-6,
+    thorough: bool = True,
 ) -> HeuristicResult:
     """Multi-threshold repair: seed with x >= threshold for several
     thresholds (the reference uses only 1-tol, :163-168; different interior
@@ -72,7 +73,8 @@ def dual_guided_cover_repair(
     (uncoveredGain + dualGain)/cost, remove redundancy in reverse cost
     order, return the best."""
     best = HeuristicResult("dual_guided_cover_repair")
-    for threshold in (1.0 - tol, 0.9, 0.5, 0.3):
+    thresholds = (1.0 - tol, 0.9, 0.5, 0.3) if thorough else (1.0 - tol, 0.5)
+    for threshold in thresholds:
         cand = _repair_from_threshold(
             model, relaxed_primal, relaxed_dual, node, tol, threshold
         )
@@ -151,14 +153,19 @@ def run_heuristics(
     relaxed_dual: np.ndarray,
     node: Optional[BranchNode] = None,
     tol: float = 1e-6,
+    thorough: bool = True,
 ) -> List[HeuristicResult]:
+    """``thorough=False`` runs the cheap 2-threshold repair — the in-tree
+    per-node setting; roots and periodic nodes get the full 4 thresholds."""
     tokens = [t.strip().lower() for t in configured.split(",") if t.strip()]
     if not tokens:
         tokens = ["nearest_integer_fixing", "dual_guided_cover_repair"]
     out = []
     for t in tokens:
         fn = _HEURISTICS.get(t)
-        if fn is not None:
+        if fn is dual_guided_cover_repair:
+            out.append(fn(model, relaxed_primal, relaxed_dual, node, tol, thorough))
+        elif fn is not None:
             out.append(fn(model, relaxed_primal, relaxed_dual, node, tol))
     return out
 
