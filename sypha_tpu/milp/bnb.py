@@ -918,11 +918,19 @@ def branch_and_bound(
         )
 
     if np.isfinite(best_obj):
-        proven = (
-            (not frontier or gap_tolerance_reached)
-            and not open_failures
-            and not hard_limit_reached
-            and processed < bnb.max_nodes
+        # a closed gap is a proof regardless of WHY the loop stopped (e.g.
+        # a time limit hit right after the bound closed)
+        gap_closed = (
+            np.isfinite(global_lower)
+            and compute_mip_gap(best_obj, global_lower) <= mip_gap_tol
+        )
+        proven = not open_failures and (
+            gap_closed
+            or (
+                (not frontier or gap_tolerance_reached)
+                and not hard_limit_reached
+                and processed < bnb.max_nodes
+            )
         )
         if proven:
             status = MilpStatus.OPTIMAL
