@@ -163,6 +163,30 @@ class BnbOptions:
     # exists at startup.  "" disables.
     checkpoint_path: str = ""
     checkpoint_interval_sec: float = 60.0
+    # Hard-time-limit enforcement granularity: when a deadline is set, node
+    # window solves dispatch in chunks of this many IPM iterations with a
+    # host wall-clock check between chunks (the iteration cap is a traced
+    # scalar, so chunking costs zero recompiles).  This bounds time-limit
+    # overshoot to ~one chunk of the slowest window instead of a whole
+    # solve (reference polls its watchdog every IPM iteration,
+    # src/sypha_solver.cpp:498-502).  Chunk size then adapts to target
+    # iter_chunk_target_sec of wall time per dispatch.
+    iter_chunk: int = 8
+    iter_chunk_target_sec: float = 3.0
+    # Multi-chip node windows: when >0, the driver builds a jax mesh over
+    # this many devices and dispatches every window through
+    # parallel.mesh.solve_node_batch_sharded (lane axis sharded, base LP
+    # replicated); host-side bounds pool across processes via
+    # parallel.distributed.BoundPool each round.  0 = single-device.
+    mesh_devices: int = 0
+    # In-tree cut separation: every node whose LP improves its parent bound
+    # and stays fractional is a candidate; separate on at most this many
+    # nodes per window round (0 disables — root-only cuts, the reference
+    # behavior).  Cuts derived from node duals are GLOBALLY valid here
+    # because branch decisions are column fixings, not rows: the aggregated
+    # rows are always original covering+cut rows.
+    tree_cut_nodes_per_round: int = 2
+    tree_cut_max_rounds: int = 200
 
     def replace(self, **kw) -> "BnbOptions":
         return dataclasses.replace(self, **kw)

@@ -38,6 +38,8 @@ def solve_node_batch(
     fix1: jnp.ndarray,  # [B, n_pad] 1.0 where a column is fixed to 1
     opts: IpmOptions,
     warm=None,  # optional (x0, y0, s0) [B, ...] parent iterates
+    resume=None,  # optional IpmState from a previous chunked dispatch
+    iter_limit=None,  # optional traced int32 iteration cap (chunked solves)
 ):
     """Solve one batch of B&B node LPs sharing the base matrix.
 
@@ -50,19 +52,30 @@ def solve_node_batch(
     shifted back to the interior (the reference cold-starts every node with
     a dense (AA^T)^-1 solve, src/sypha_solver_init.cpp:543 — flagged in
     SURVEY §7 hard-parts as the waste a TPU rebuild should fix).
+
+    ``resume``/``iter_limit`` implement hard time limits: the B&B driver
+    runs a window solve in short chunks, checking the wall clock between
+    dispatches (the TPU analogue of the reference's per-iteration watchdog
+    poll, src/sypha_solver.cpp:498-502).  ``iter_limit`` is traced, so
+    raising it across chunks reuses the same compiled executable.
     """
     batch = make_shared_batch(base, fix0.shape[0])
     batch = fix_columns(batch, fix0, fix1)
-    if warm is not None:
+    if resume is not None:
+        st = mehrotra_solve_shared(
+            batch, opts, state0=resume, iter_limit=iter_limit
+        )
+    elif warm is not None:
         xw, yw, sw = warm
         eps = 1e-3
         x0 = jnp.maximum(xw.astype(batch.A.dtype), eps)
         s0 = jnp.maximum(sw.astype(batch.A.dtype), eps)
         st = mehrotra_solve_shared(
-            batch, opts, x0, yw.astype(batch.A.dtype), s0
+            batch, opts, x0, yw.astype(batch.A.dtype), s0,
+            iter_limit=iter_limit,
         )
     else:
-        st = mehrotra_solve_shared(batch, opts)
+        st = mehrotra_solve_shared(batch, opts, iter_limit=iter_limit)
     x_masked = st.x * batch.col_mask
     x_full = x_masked + jnp.asarray(fix1, st.x.dtype)
     pobj = jnp.sum(batch.c * x_masked, axis=-1) + batch.obj_offset

@@ -239,12 +239,25 @@ def mehrotra_solve_shared(
     y0=None,
     s0=None,
     axis_name=None,
+    state0=None,
+    iter_limit=None,
 ) -> IpmState:
     """Batched Mehrotra predictor-corrector over a SharedLpBatch.
 
     Returns an IpmState whose leaves carry a leading lane axis.  The whole
     batch runs as ONE ``lax.while_loop``; lanes that converge freeze while
     the rest continue (per-lane status gating, as in ipm.dense).
+
+    ``iter_limit`` is a *traced* int32 cap on the per-lane iteration count
+    (default ``opts.max_iter``).  Because it is dynamic, callers can run a
+    solve in short chunks — dispatch with a small limit, check the wall
+    clock on the host, then resume by passing the returned state back as
+    ``state0`` with a higher limit — without triggering any recompiles.
+    This is the TPU analogue of the reference's per-IPM-iteration watchdog
+    poll (src/sypha_solver.cpp:498-502): the host regains control every
+    chunk instead of every iteration.  Lanes that stopped at MAX_ITER are
+    revived when the new limit allows more steps; all other terminal
+    statuses stay frozen.
     """
     from sypha_tpu.ops.spd import pcg_solve
 
@@ -264,25 +277,46 @@ def mehrotra_solve_shared(
     norm_b = 1.0 + jnp.linalg.norm(b, axis=-1)
     norm_c = 1.0 + jnp.sqrt(psum(jnp.sum(c * c, axis=-1)))
 
-    if x0 is None:
-        x, y, s = shared_initial_point(batch, opts, A32, use_cg, axis_name)
-    else:
-        x, y, s = x0, y0, s0
-
-    one = jnp.ones((B,), c.dtype)
-    state0 = IpmState(
-        x=x,
-        y=y,
-        s=s,
-        mu=psum(jnp.sum(x * s, axis=-1)) / n_total,
-        gap=one,
-        res_p=one,
-        res_d=one,
-        iterations=jnp.zeros((B,), jnp.int32),
-        status=jnp.full((B,), IpmStatus.RUNNING, jnp.int32),
-        best_gap=jnp.full((B,), jnp.inf, c.dtype),
-        stall_count=jnp.zeros((B,), jnp.int32),
+    iter_limit = (
+        jnp.asarray(opts.max_iter, jnp.int32)
+        if iter_limit is None
+        else jnp.asarray(iter_limit, jnp.int32)
     )
+
+    if state0 is not None:
+        # resume a chunked solve: revive lanes the previous (lower) limit
+        # cut short; every other terminal status is final
+        import dataclasses
+
+        revive = (state0.status == IpmStatus.MAX_ITER) & (
+            state0.iterations < iter_limit
+        )
+        state0 = dataclasses.replace(
+            state0,
+            status=jnp.where(
+                revive, IpmStatus.RUNNING, state0.status
+            ).astype(jnp.int32),
+        )
+    else:
+        if x0 is None:
+            x, y, s = shared_initial_point(batch, opts, A32, use_cg, axis_name)
+        else:
+            x, y, s = x0, y0, s0
+
+        one = jnp.ones((B,), c.dtype)
+        state0 = IpmState(
+            x=x,
+            y=y,
+            s=s,
+            mu=psum(jnp.sum(x * s, axis=-1)) / n_total,
+            gap=one,
+            res_p=one,
+            res_d=one,
+            iterations=jnp.zeros((B,), jnp.int32),
+            status=jnp.full((B,), IpmStatus.RUNNING, jnp.int32),
+            best_gap=jnp.full((B,), jnp.inf, c.dtype),
+            stall_count=jnp.zeros((B,), jnp.int32),
+        )
 
     def cond(st):
         return jnp.any(st.status == IpmStatus.RUNNING)
@@ -313,7 +347,7 @@ def mehrotra_solve_shared(
         # whose fixings make the cover impossible); see ipm.dense.
         infeasible = tiny_mu & (res_p > 1e3 * opts.tol_feas)
         diverged = ~jnp.isfinite(mu) | (mu > opts.mu_max) | infeasible
-        hit_max = st.iterations >= opts.max_iter
+        hit_max = st.iterations >= iter_limit
 
         improved = gap < st.best_gap * (1.0 - opts.gap_stall_min_improv)
         best_gap = jnp.where(improved, gap, st.best_gap)

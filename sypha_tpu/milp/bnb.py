@@ -101,13 +101,17 @@ class _NodeLpSolver:
     # change the padded bucket (and so does not trigger an XLA recompile)
     CUT_HEADROOM = 64
 
-    def __init__(self, base: BaseModel, cfg: SolverConfig, log: Logger):
+    def __init__(self, base: BaseModel, cfg: SolverConfig, log: Logger, mesh=None):
         self.base = base
         self.cfg = cfg
         self.log = log
+        self.mesh = mesh  # jax Mesh => windows dispatch lane-sharded
         self._device_base = None
         self._inactive = None
         self._bucket = (0, 0)  # sticky: only grows, to keep compiles cached
+        # EMA of wall seconds per IPM iteration at the current bucket,
+        # used to size deadline chunks (None until first measured)
+        self._sec_per_iter = None
 
     def _rebuild_device_base(self):
         A, b, c, n0 = self.base.standard_form(None)
@@ -127,21 +131,50 @@ class _NodeLpSolver:
         """Base model changed (cuts appended or columns masked)."""
         self._device_base = None
 
-    def solve_nodes(self, nodes: List[BranchNode], opts):
-        """Solve a batch of node LPs; returns host-side per-node dicts."""
-        import jax
+    def _dispatch(self, fix0, fix1, opts, warm, resume, iter_limit):
+        """One device dispatch: single-device jit or mesh-sharded."""
         import jax.numpy as jnp
 
+        if self.mesh is not None:
+            from sypha_tpu.parallel.mesh import solve_node_batch_sharded
+
+            return solve_node_batch_sharded(
+                self._device_base, fix0, fix1, opts, self.mesh,
+                warm=warm, resume=resume, iter_limit=iter_limit,
+            )
         from sypha_tpu.ipm.node_batch import solve_node_batch
+
+        return solve_node_batch(
+            self._device_base, fix0, fix1, opts, warm, resume,
+            jnp.asarray(iter_limit, jnp.int32),
+        )
+
+    def solve_nodes(self, nodes: List[BranchNode], opts, deadline: float = np.inf):
+        """Solve a batch of node LPs; returns host-side per-node dicts.
+
+        ``deadline`` (absolute time.monotonic()) bounds the wall time: the
+        solve dispatches in iteration chunks with a host clock check
+        between dispatches, so overshoot is ~one chunk rather than a whole
+        window solve (reference per-iteration watchdog,
+        src/sypha_solver.cpp:498-502).  Lanes stopped early report
+        MAX_ITER; the driver's weak-duality path still extracts bounds.
+        """
+        import jax
+        import jax.numpy as jnp
 
         if self._device_base is None:
             self._rebuild_device_base()
 
         # pad the lane count to a fixed ladder (1, then multiples of the
         # window size) by replicating the last node, so XLA compiles one
-        # executable per rung instead of one per frontier size
+        # executable per rung instead of one per frontier size; on a mesh
+        # the rung must also divide by the mesh size
         B_real = len(nodes)
-        B = 1 if B_real == 1 else _round_up(B_real, self.cfg.bnb.node_batch)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if B_real == 1:
+            B = n_dev  # single solves use the smallest mesh-divisible rung
+        else:
+            B = _round_up(_round_up(B_real, self.cfg.bnb.node_batch), n_dev)
         np_ = self._device_base.n_pad
         mp = self._device_base.m_pad
         fix0 = np.broadcast_to(self._inactive, (B, np_)).copy()
@@ -174,9 +207,62 @@ class _NodeLpSolver:
             if use_warm
             else None
         )
-        st, x_full, pobj, dobj = solve_node_batch(
-            self._device_base, jnp.asarray(fix0), jnp.asarray(fix1), opts, warm
-        )
+        fix0j, fix1j = jnp.asarray(fix0), jnp.asarray(fix1)
+
+        bnb = self.cfg.bnb
+
+        def next_chunk(remaining_iters: int) -> int:
+            if self._sec_per_iter is None:
+                return max(2, min(remaining_iters, bnb.iter_chunk))
+            return max(
+                2,
+                min(
+                    remaining_iters,
+                    int(bnb.iter_chunk_target_sec / max(self._sec_per_iter, 1e-6)),
+                ),
+            )
+
+        if not np.isfinite(deadline):
+            # no deadline: single dispatch; still measure sec/iter so a
+            # later deadline-bound call can size its first chunk
+            t0 = time.monotonic()
+            st, x_full, pobj, dobj = self._dispatch(
+                fix0j, fix1j, opts, warm, None, opts.max_iter
+            )
+            iters = np.asarray(jax.device_get(st.iterations))
+            dt = time.monotonic() - t0
+            spi = dt / max(1.0, float(iters.max()))
+            self._sec_per_iter = (
+                spi
+                if self._sec_per_iter is None
+                else 0.5 * self._sec_per_iter + 0.5 * spi
+            )
+        else:
+            # chunked dispatches with a host clock check between chunks
+            done = 0
+            resume = None
+            st = x_full = pobj = dobj = None
+            while True:
+                limit = min(opts.max_iter, done + next_chunk(opts.max_iter - done))
+                t0 = time.monotonic()
+                st, x_full, pobj, dobj = self._dispatch(
+                    fix0j, fix1j, opts,
+                    warm if resume is None else None, resume, limit,
+                )
+                status_h = np.asarray(jax.device_get(st.status))
+                dt = time.monotonic() - t0
+                spi = dt / max(1.0, float(limit - done))
+                self._sec_per_iter = (
+                    spi
+                    if self._sec_per_iter is None
+                    else 0.5 * self._sec_per_iter + 0.5 * spi
+                )
+                done = limit
+                resume = st
+                if not np.any(status_h == int(IpmStatus.MAX_ITER)):
+                    break  # every lane terminated for a real reason
+                if done >= opts.max_iter or time.monotonic() >= deadline:
+                    break
         host = jax.device_get(
             {
                 "status": st.status,
@@ -260,12 +346,28 @@ def _load_checkpoint(path: str, log: Logger) -> Optional[dict]:
 
 
 def branch_and_bound(
-    model: ScpModel, cfg: Optional[SolverConfig] = None, log: Optional[Logger] = None
+    model: ScpModel,
+    cfg: Optional[SolverConfig] = None,
+    log: Optional[Logger] = None,
+    mesh=None,
 ) -> MilpResult:
+    """MILP branch & bound.  ``mesh`` (or cfg.bnb.mesh_devices > 0) runs
+    every node window lane-sharded over the device mesh
+    (parallel.mesh.solve_node_batch_sharded); across processes the
+    incumbent/dual-bound/stop scalars pool via BoundPool each round — the
+    only cross-host traffic, mirroring the host variables of the reference
+    (src/sypha_solver_bnb_driver.cpp:256-261, :1048-1079)."""
     cfg = cfg or SolverConfig()
     log = log or Logger(verbosity=cfg.verbosity)
     t_start = time.monotonic()
     bnb = cfg.bnb
+    if mesh is None and bnb.mesh_devices > 0:
+        from sypha_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(bnb.mesh_devices)
+    from sypha_tpu.parallel.distributed import BoundPool
+
+    pool = BoundPool()
     px_tol = 1e-12
     int_tol = bnb.integrality_tol
     mip_gap_tol = 2.0 * cfg.ipm.tol_gap
@@ -324,8 +426,16 @@ def branch_and_bound(
     if removed:
         log.info(f"Pre-LP dominance reduction: {removed} cols masked")
 
-    solver = _NodeLpSolver(base, cfg, log)
+    solver = _NodeLpSolver(base, cfg, log, mesh=mesh)
     root = BranchNode()
+    # absolute wall-clock deadline every device dispatch respects (chunked
+    # solves check it between iteration chunks — hard limits are hard)
+    _hard0 = (
+        bnb.hard_time_limit_sec
+        if bnb.hard_time_limit_sec > 0
+        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
+    )
+    deadline = t_start + _hard0 if _hard0 > 0 else np.inf
     # B&B node LPs (mask-heavy lanes, warm starts, reduced models) are much
     # harder on the f32-preconditioned PCG than clean instance batches:
     # give them more PCG headroom than the throughput-tuned LP default
@@ -334,7 +444,7 @@ def branch_and_bound(
     )
 
     def solve_single(node: BranchNode):
-        return solver.solve_nodes([node], ipm_opts)[0]
+        return solver.solve_nodes([node], ipm_opts, deadline)[0]
 
     def integral_cover(res) -> bool:
         """LP point is 0/1-integral AND a genuine cover (an infeasible lane
@@ -424,11 +534,7 @@ def branch_and_bound(
         solver.refresh()
 
     # ---- phase 6.5: root cut rounds ----
-    _hard = (
-        bnb.hard_time_limit_sec
-        if bnb.hard_time_limit_sec > 0
-        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
-    )
+    _hard = _hard0
 
     def time_up() -> bool:
         return (
@@ -544,11 +650,7 @@ def branch_and_bound(
             log,
         )
     gap_tolerance_reached = False
-    hard_limit = (
-        bnb.hard_time_limit_sec
-        if bnb.hard_time_limit_sec > 0
-        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
-    )
+    hard_limit = _hard0
     hard_limit_reached = False
     next_log = time.monotonic() + bnb.log_interval_sec
 
@@ -580,7 +682,7 @@ def branch_and_bound(
                     ch.warm = res.get("warm")
         if any(c is None for c in children) or not children:
             return -1
-        results = solver.solve_nodes(children, sb_opts)
+        results = solver.solve_nodes(children, sb_opts, deadline)
         best_var, best_score = -1, -np.inf
         for i, v in enumerate(top):
             b0, b1 = results[2 * i], results[2 * i + 1]
@@ -688,6 +790,24 @@ def branch_and_bound(
         if bnb.checkpoint_path and now >= next_ckpt:
             save_checkpoint()
             next_ckpt = now + bnb.checkpoint_interval_sec
+        if pool.n_processes > 1:
+            # multi-host cadence: pool incumbent/dual-bound/stop scalars
+            # over DCN once per window round (no-op single-process).  The
+            # incumbent *solution* stays on its owning host; a remote
+            # objective still prunes our frontier and closes our gap.
+            lo, _ = frontier_lower()
+            pooled = pool.sync(
+                best_obj, lo if np.isfinite(lo) else global_lower, False
+            )
+            if pooled.stop:
+                hard_limit_reached = True
+                log.info("Stop flag pooled from a peer process")
+                break
+            if pooled.incumbent < best_obj - px_tol:
+                best_obj = pooled.incumbent
+                incumbent_source = "pooled_remote"
+                log.info(f"Pooled remote incumbent: {best_obj:.12g}")
+                prune_frontier()
         if np.isfinite(best_obj) and np.isfinite(global_lower):
             cur_gap = compute_mip_gap(best_obj, global_lower)
             if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:
@@ -737,7 +857,7 @@ def branch_and_bound(
             continue
 
         opts = reduced_opts if iterations_reduced else full_opts
-        results = solver.solve_nodes(batch, opts)
+        results = solver.solve_nodes(batch, opts, deadline)
 
         for node, res in zip(batch, results):
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
@@ -904,10 +1024,17 @@ def branch_and_bound(
         global_lower = lo
     elif not frontier and not open_failures and np.isfinite(best_obj):
         global_lower = best_obj
+    elif lo == -np.inf or not np.isfinite(global_lower):
+        # open nodes with no established bound (e.g. the root LP never
+        # finished inside the time budget): the bound is unknown, -inf —
+        # never report the +inf initialisation as a "dual bound"
+        global_lower = -np.inf
     if np.isfinite(raw):
         global_lower_raw = raw
     elif not frontier and not open_failures and np.isfinite(best_obj):
         global_lower_raw = best_obj
+    elif raw == -np.inf or not np.isfinite(global_lower_raw):
+        global_lower_raw = -np.inf
 
     wall = time.monotonic() - t_start
     log.info(f"BnB processed {processed} nodes, {total_lp_iters} total LP iterations")

@@ -119,6 +119,80 @@ def solve_shared_batch_sharded(
     )
 
 
+def solve_node_batch_sharded(
+    base: PaddedLp,
+    fix0,
+    fix1,
+    opts: IpmOptions,
+    mesh: Mesh,
+    warm=None,
+    resume=None,
+    iter_limit=None,
+):
+    """Multi-chip B&B node window: the full node-batch solve
+    (ipm.node_batch.solve_node_batch — per-lane branch fixings, warm
+    starts, chunked resume) with the LANE axis sharded over the mesh.
+
+    The padded base LP (one A for the whole window) is replicated on every
+    chip; each chip solves its shard of the frontier window; nothing
+    crosses the ICI during the solve — the cross-chip state the reference
+    keeps in host variables (incumbent, global dual bound, stop flag —
+    src/sypha_solver_bnb_driver.cpp:256-261, :1048-1079) is pooled by the
+    host driver via parallel.distributed.BoundPool on a cadence instead.
+
+    Lane count must divide by the mesh size (the driver pads the window by
+    replicating its last node).  Returns the same (state, x_full, pobj,
+    dobj) as solve_node_batch, lane axis sharded.
+    """
+    from sypha_tpu.ipm.node_batch import solve_node_batch
+
+    lane = P(BATCH_AXIS)
+    rep = P()
+
+    def lane_spec(tree):
+        return jax.tree_util.tree_map(lambda _: lane, tree)
+
+    def rep_spec(tree):
+        return jax.tree_util.tree_map(lambda _: rep, tree)
+
+    def per_chip(base, fix0, fix1, warm, resume, limit):
+        return solve_node_batch(base, fix0, fix1, opts, warm, resume, limit)
+
+    limit = jnp.asarray(
+        opts.max_iter if iter_limit is None else iter_limit, jnp.int32
+    )
+    args = (base, fix0, fix1, warm, resume, limit)
+    in_specs = (
+        rep_spec(base), lane, lane, lane_spec(warm), lane_spec(resume), rep
+    )
+    # out structure: (IpmState, x_full, pobj, dobj) — all lane-leading
+    fn = shard_map(
+        per_chip,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(
+            IpmState_lane_spec(),
+            lane,
+            lane,
+            lane,
+        ),
+        check_vma=False,
+    )
+    return jax.jit(fn)(*args)
+
+
+def IpmState_lane_spec():
+    """PartitionSpecs of an IpmState with every leaf lane-sharded on its
+    leading axis (the node-window / frontier sharding)."""
+    from sypha_tpu.ipm.dense import IpmState
+
+    lane = P(BATCH_AXIS)
+    return IpmState(
+        x=lane, y=lane, s=lane, mu=lane, gap=lane, res_p=lane, res_d=lane,
+        iterations=lane, status=lane, best_gap=lane, stall_count=lane,
+    )
+
+
 TP_AXIS = "tp"
 
 

