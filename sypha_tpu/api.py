@@ -437,11 +437,15 @@ class Solver:
         )
 
     def _solve_generic_milp(self, cfg: SolverConfig, log: Logger):
-        """Generic binary B&B on the shared-matrix batched IPM: LP-bound
-        pruning + most-fractional branching via column fixings.  Covers
-        API models that are MILP but not pure set covering (the reference
-        routes these into its SCP B&B unchanged; we keep the LP machinery
-        shared but skip the covering-specific presolve/heuristics/cuts)."""
+        """Generic binary B&B on the shared-matrix batched IPM: best-bound
+        node selection, LP-bound pruning (including weak-duality bounds
+        from stalled-but-dual-feasible lanes, as in the SCP driver), a
+        nearest-integer rounding heuristic checked against the ORIGINAL
+        constraints, most-fractional branching via column fixings, and
+        gap-closure optimality.  Covers API models that are MILP but not
+        pure set covering (the reference routes these into its SCP B&B
+        unchanged; we keep the LP machinery shared but skip the
+        covering-specific presolve/repair/cuts)."""
         import jax.numpy as jnp
 
         from sypha_tpu.io.standard_form import pad_standard_form
@@ -472,6 +476,34 @@ class Solver:
         np_ = lp.n_pad
         int_tol = self._params.integrality_tol
 
+        # the internal (minimization, negated-if-maximize) user rows, for
+        # checking rounded candidates against the ORIGINAL constraints
+        user_rows = []
+        for c in self._constraints:
+            coeffs = np.zeros(n)
+            for vi, aij in c._coeffs.items():
+                coeffs[vi] = aij
+            user_rows.append((coeffs, c.lb(), c.ub()))
+
+        def rounded_incumbent(x):
+            """Round integer vars to the nearest integer, keep continuous
+            vars, and accept only if every original row and var bound
+            holds (feasibility is checked exactly — never trust an LP
+            point's near-integrality alone)."""
+            xr = x[:n].copy()
+            xr[int_idx] = np.round(xr[int_idx])
+            for v in self._variables:
+                if xr[v.index()] < v.lb() - 1e-9 or xr[v.index()] > v.ub() + 1e-9:
+                    return None
+            for coeffs, lb, ub in user_rows:
+                act = float(coeffs @ xr)
+                if act < lb - 1e-7 or act > ub + 1e-7:
+                    return None
+            obj = float(
+                sum(cvec[j] * xr[j] for j in range(n))
+            )
+            return obj, xr
+
         best = np.inf
         best_x = None
         # frontier entries: (fix0 set, fix1 set, parent bound)
@@ -480,10 +512,27 @@ class Solver:
         iters = 0
         t0 = time.monotonic()
         limit = self._params.bnb_hard_time_limit_sec
+        gap_tol = 2.0 * cfg.ipm.tol_gap
+        hit_limit = False
+
+        def open_lower():
+            return min([pb for _, _, pb in frontier], default=np.inf)
 
         while frontier and nodes < self._params.bnb_max_nodes:
             if limit > 0 and time.monotonic() - t0 > limit:
+                hit_limit = True
                 break
+            lo = open_lower()
+            if (
+                np.isfinite(best)
+                and np.isfinite(lo)
+                and (best - lo) / max(1.0, abs(best)) <= gap_tol
+            ):
+                break  # gap closed: incumbent is optimal
+            # best-bound-first: keep the frontier sorted descending by
+            # parent bound so popping from the end explores the lowest
+            # bounds first (tightens the global bound fastest)
+            frontier.sort(key=lambda nd: -nd[2])
             batch = [frontier.pop() for _ in range(min(len(frontier), cfg.bnb.node_batch))]
             batch = [nd for nd in batch if nd[2] < best - 1e-9]
             if not batch:
@@ -501,7 +550,7 @@ class Solver:
 
             host = jax.device_get(
                 {"status": st.status, "it": st.iterations, "x": x_full,
-                 "pobj": pobj, "dobj": dobj}
+                 "pobj": pobj, "dobj": dobj, "res_d": st.res_d}
             )
             for li, (f0, f1, pb) in enumerate(batch):
                 status = IpmStatus(int(host["status"][li]))
@@ -509,17 +558,40 @@ class Solver:
                 nodes += 1
                 if status == IpmStatus.INFEASIBLE_OR_NUMERICAL:
                     continue
-                nd = float(host["dobj"][li]) if status == IpmStatus.CONVERGED else pb
+                dobj_li = float(host["dobj"][li])
+                pobj_li = float(host["pobj"][li])
+                sane = (
+                    np.isfinite(dobj_li)
+                    and np.isfinite(pobj_li)
+                    and dobj_li <= pobj_li + 1e-6
+                )
+                if sane and status == IpmStatus.CONVERGED:
+                    nd = max(dobj_li, pb)
+                elif (
+                    sane
+                    and status in (IpmStatus.GAP_STALLED, IpmStatus.MAX_ITER)
+                    and float(host["res_d"][li]) <= 1e-7
+                ):
+                    # weak duality: a (near-)dual-feasible iterate bounds
+                    # the node even without convergence (see milp.bnb)
+                    nd = max(dobj_li - max(1e-9, 1e-7 * abs(dobj_li)), pb)
+                else:
+                    nd = pb
                 if nd >= best - 1e-9:
                     continue
                 x = host["x"][li]
                 frac = np.abs(x[int_idx] - np.round(x[int_idx]))
                 if np.all(frac <= int_tol):
-                    obj = float(host["pobj"][li])
-                    if obj < best - 1e-9:
-                        best = obj
-                        best_x = x.copy()
+                    cand = rounded_incumbent(x)
+                    if cand is not None and cand[0] < best - 1e-9:
+                        best, best_x = cand[0], cand[1]
                     continue
+                # rounding heuristic on fractional nodes: cheap incumbents
+                # prune the frontier early (the SCP path runs its repair
+                # heuristics here; rounding is the generic analogue)
+                cand = rounded_incumbent(x)
+                if cand is not None and cand[0] < best - 1e-9:
+                    best, best_x = cand[0], cand[1]
                 j = int(int_idx[np.argmax(np.minimum(frac, 1 - frac))])
                 frontier.append((f0 | {j}, f1, nd))
                 frontier.append((f0, f1 | {j}, nd))
@@ -531,11 +603,14 @@ class Solver:
             self._mip_gap = np.inf
             return
         for v in self._variables:
-            val = float(best_x[v.index()])
+            val = float(best_x[v.index()]) if v.index() < len(best_x) else 0.0
             v._solution_value = float(np.round(val)) if v.integer() else val
-        lower = min([pb for _, _, pb in frontier], default=best)
+        lower = open_lower()
+        if not np.isfinite(lower) or lower > best:
+            lower = best
         self._mip_gap = max(0.0, (best - lower) / max(1.0, abs(best)))
         self._remap_objectives(best, lower)
+        proven = (not frontier and not hit_limit) or self._mip_gap <= gap_tol
         self._status = (
-            ResultStatus.OPTIMAL if not frontier else ResultStatus.FEASIBLE
+            ResultStatus.OPTIMAL if proven else ResultStatus.FEASIBLE
         )

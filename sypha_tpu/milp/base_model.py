@@ -48,10 +48,17 @@ class BranchDecision:
 
 @dataclass
 class BranchNode:
-    """Node state (reference BranchNodeState, src/sypha_solver_heuristics.h:23-34)."""
+    """Node state (reference BranchNodeState, src/sypha_solver_heuristics.h:23-34).
+
+    Unlike the reference there is no per-node cut list: because branch
+    decisions are column fixings rather than appended rows, every cut a
+    node's LP separates aggregates only ORIGINAL (global) rows and is
+    therefore valid for the whole tree — the driver appends such cuts to
+    the shared BaseModel (in-tree separation) instead of carrying them on
+    the node (reference build_branch_model appends node-cut rows,
+    src/sypha_solver_bnb.cpp:418-490)."""
 
     decisions: List[BranchDecision] = field(default_factory=list)
-    cuts: List[Cut] = field(default_factory=list)
     depth: int = 0
     parent_dual_bound: float = -np.inf
     parent_dual_bound_raw: float = -np.inf
@@ -65,7 +72,6 @@ class BranchNode:
                 return self if d.value == value else None
         return BranchNode(
             decisions=self.decisions + [BranchDecision(var, value)],
-            cuts=list(self.cuts),
             depth=self.depth + 1,
             parent_dual_bound=self.parent_dual_bound,
             parent_dual_bound_raw=self.parent_dual_bound_raw,
@@ -147,7 +153,6 @@ class BaseModel:
                         float(d.value),
                     )
                 )
-            rows += [(c.indices, c.values, float(c.rhs)) for c in node.cuts]
 
         m = len(rows)
         n0 = self.ncols

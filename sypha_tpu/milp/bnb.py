@@ -67,6 +67,7 @@ class MilpResult:
     incumbent_source: str = "none"
     wall_time_sec: float = 0.0
     root_cuts: int = 0
+    tree_cuts: int = 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -130,6 +131,20 @@ class _NodeLpSolver:
     def refresh(self):
         """Base model changed (cuts appended or columns masked)."""
         self._device_base = None
+
+    def room_for_cuts(self) -> int:
+        """How many more cut rows fit inside the current padded bucket.
+
+        Each cut adds one row AND one surplus column to the standard form;
+        exceeding either padding would grow the bucket and force an XLA
+        recompile (~minutes through the remote-compile tunnel), so in-tree
+        separation must stay inside this budget.  Before the first build
+        the bucket is unset: report the headroom the build will reserve."""
+        if self._bucket == (0, 0):
+            return self.CUT_HEADROOM
+        m_now = self.base.nrows
+        n_now = self.base.ncols + m_now
+        return max(0, min(self._bucket[0] - m_now, self._bucket[1] - n_now))
 
     def _dispatch(self, fix0, fix1, opts, warm, resume, iter_limit):
         """One device dispatch: single-device jit or mesh-sharded."""
@@ -470,6 +485,32 @@ def branch_and_bound(
             and res.get("res_d", np.inf) <= 1e-7
         )
 
+    def reduced_cost_fix(res) -> int:
+        """Reduced-cost fixing (no reference counterpart — SCIP-style):
+        from a (near-)dual-feasible y with safe bound z = b.y - sum_j
+        max(0, -r_j), any column whose reduced cost satisfies
+        z + max(r_j, 0) > cutoff cannot appear in a solution better than
+        the incumbent (x_j is binary), so it is masked globally.  On SCP
+        plateaus this is the bound-side lever: each fixing round shrinks
+        the model, the reduced-root LP bound climbs, and the ceil
+        tightening converts fractional progress into integer bound steps.
+        """
+        if not np.isfinite(best_obj) or not usable_bound(res):
+            return 0
+        cutoff = (
+            best_obj - 1.0 + int_tol if obj_is_integral else best_obj - px_tol
+        )
+        m_all = base.nrows
+        y = np.maximum(np.asarray(res["y"][:m_all], dtype=np.float64), 0.0)
+        # r = c - A^T y over structural columns (covering rows + cut rows,
+        # all with nonnegative coefficients, so clamping y keeps y >= 0
+        # feasible and only relaxes A^T y <= c)
+        Arel, rhs = base.rel_csr()
+        r = base.costs - Arel.T @ y
+        bound_base = float(rhs @ y) - float(np.sum(np.maximum(0.0, -r)))
+        fixable = base.active & (bound_base + np.maximum(r, 0.0) > cutoff + 1e-9)
+        return base.deactivate(np.flatnonzero(fixable))
+
     def node_coverable(node: Optional[BranchNode]) -> bool:
         """Sound feasibility certificate for a node's LP: a covering LP
         (all rows '>=', nonneg coefficients — cuts included) is feasible
@@ -518,6 +559,13 @@ def branch_and_bound(
             if obj_is_integral:
                 root_dual = tighten_dual_bound(root_dual, int_tol)
             global_lower = min(global_lower, root_dual)
+        fixed = reduced_cost_fix(res)
+        if fixed:
+            log.info(
+                f"Root reduced-cost fixing: {fixed} cols masked, "
+                f"{base.n_active} active"
+            )
+            solver.refresh()
     else:
         log.info("Root LP did not converge, continuing without incumbent bound")
 
@@ -542,6 +590,26 @@ def branch_and_bound(
         ) or log.is_stop_requested()
 
     root_cuts = 0
+    cut_sigs = set()
+
+    def fresh_cuts(cuts, cap):
+        """Drop cuts already in the model (the same CG aggregation often
+        re-separates at many nodes) and respect the padded-bucket budget."""
+        out = []
+        for cu in cuts:
+            if len(out) >= cap:
+                break
+            sig = (
+                round(cu.rhs, 9),
+                cu.indices.tobytes(),
+                np.round(cu.values, 9).tobytes(),
+            )
+            if sig in cut_sigs:
+                continue
+            cut_sigs.add(sig)
+            out.append(cu)
+        return out
+
     if bnb.cuts_enabled and bnb.cut_rounds_root > 0:
         for cut_round in range(bnb.cut_rounds_root):
             if time_up():
@@ -559,6 +627,13 @@ def branch_and_bound(
                 if obj_is_integral:
                     cut_dual = tighten_dual_bound(cut_dual, int_tol)
                 global_lower = min(global_lower, cut_dual)
+            fixed = reduced_cost_fix(res)
+            if fixed:
+                log.info(
+                    f"Cut round {cut_round + 1}: reduced-cost fixing masked "
+                    f"{fixed} cols ({base.n_active} active)"
+                )
+                solver.refresh()
             if integral_cover(res) and res["pobj"] < best_obj - px_tol:
                 adopt(res["x"], "cut_round_exact", res["pobj"])
                 log.info(f"Cut round {cut_round + 1}: LP integral, incumbent {best_obj:.12g}")
@@ -567,6 +642,7 @@ def branch_and_bound(
             cuts = separate_cuts(
                 base, res["x"], res["y"], int_tol, bnb.max_cuts_per_round
             )
+            cuts = fresh_cuts(cuts, solver.room_for_cuts())
             if not cuts:
                 log.info(f"Cut round {cut_round + 1}: no violated cuts found, stopping")
                 break
@@ -596,6 +672,8 @@ def branch_and_bound(
 
     processed = 0
     total_lp_iters = 0
+    tree_cuts = 0
+    tree_cut_rounds = 0
     # feasible nodes whose LP failed numerically: pruned from the search
     # (reference behavior) but their bounds cap the final claim — we never
     # report OPTIMAL over an unexplored feasible subtree
@@ -626,7 +704,6 @@ def branch_and_bound(
         for n in frontier:
             m2 = BranchNode(
                 decisions=list(n.decisions),
-                cuts=list(n.cuts),
                 depth=n.depth,
                 parent_dual_bound=n.parent_dual_bound,
                 parent_dual_bound_raw=n.parent_dual_bound_raw,
@@ -718,28 +795,76 @@ def branch_and_bound(
         if len(frontier) < before:
             log.info(f"Frontier pruned: {before} -> {len(frontier)} nodes")
 
-    def mid_bnb_reductions():
+    def drop_masked_nodes():
+        nonlocal frontier
+        keep = deque()
+        for n in frontier:
+            if all(base.active[d.var] or d.value == 0 for d in n.decisions):
+                keep.append(n)
+        frontier = keep
+
+    def apply_root_floor(res) -> bool:
+        """Floor every frontier node with a reduced-root LP bound: every
+        open node is that root plus fixings, so its bound floors the whole
+        frontier.  Returns True when the bound was usable."""
+        nonlocal global_lower, global_lower_raw
+        ok = (
+            res["status"] == IpmStatus.CONVERGED
+            and np.isfinite(res["dobj"])
+            and res["dobj"] <= res["pobj"] + 1e-6
+        )
+        if not ok:
+            return False
+        new_root_raw = res["dobj"]
+        new_root = (
+            tighten_dual_bound(new_root_raw, int_tol)
+            if obj_is_integral
+            else new_root_raw
+        )
+        floored = 0
+        for n in frontier:
+            if n.parent_dual_bound < new_root:
+                n.parent_dual_bound = new_root
+                n.parent_dual_bound_raw = max(
+                    n.parent_dual_bound_raw, new_root_raw
+                )
+                floored += 1
+        global_lower = (
+            max(global_lower, new_root) if np.isfinite(global_lower) else new_root
+        )
+        global_lower_raw = (
+            max(global_lower_raw, new_root_raw)
+            if np.isfinite(global_lower_raw)
+            else new_root_raw
+        )
+        log.info(
+            f"Reduced-root LP bound {new_root_raw:.6g} -> floor "
+            f"{new_root:.6g} applied to {floored} frontier nodes"
+        )
+        prune_frontier()
+        return True
+
+    def mid_bnb_reductions(seed_res=None):
         """Mask columns with the improved incumbent; drop nodes fixing a
         masked column to 1 (replaces reference remap_branch_node).  When
-        columns were removed, re-solve the ROOT LP of the reduced model:
-        every open node is that root plus fixings, so its bound floors the
-        whole frontier — an improved incumbent can close the tree on the
-        spot instead of grinding through plateau subtrees."""
-        nonlocal frontier, global_lower, global_lower_raw
+        columns were removed, re-solve the ROOT LP of the reduced model
+        and floor the frontier with its bound, then iterate reduced-cost
+        fixing against each re-solve until it stops masking — an improved
+        incumbent can close the tree on the spot instead of grinding
+        through plateau subtrees."""
+        nonlocal frontier
         r = reduce_by_incumbent()
         r += incumbent_budget_pruning(
             base, best_obj, px_tol, cfg.preprocess_time_limit_sec
         )
-        if r > 0:
-            log.info(f"Mid-BnB reduction: {r} cols masked, {base.n_active} active")
+        if seed_res is not None:
+            r += reduced_cost_fix(seed_res)
+        if r == 0:
+            return
+        log.info(f"Mid-BnB reduction: {r} cols masked, {base.n_active} active")
+        for _ in range(8):  # fix -> re-solve -> fix until a fixpoint
             solver.refresh()
-            keep = deque()
-            for n in frontier:
-                if all(
-                    base.active[d.var] or d.value == 0 for d in n.decisions
-                ):
-                    keep.append(n)
-            frontier = keep
+            drop_masked_nodes()
             res = solve_single(BranchNode())
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
                 if node_coverable(None):
@@ -749,37 +874,15 @@ def branch_and_bound(
                 log.info("Reduced-root LP infeasible: incumbent is optimal")
                 frontier.clear()
                 return
-            ok = (
-                res["status"] == IpmStatus.CONVERGED
-                and np.isfinite(res["dobj"])
-                and res["dobj"] <= res["pobj"] + 1e-6
+            apply_root_floor(res)
+            if not frontier and processed > 0:
+                return  # tree closed by the floor
+            r2 = reduced_cost_fix(res)
+            if r2 == 0:
+                return
+            log.info(
+                f"Reduced-cost fixing: {r2} cols masked, {base.n_active} active"
             )
-            if ok:
-                new_root_raw = res["dobj"]
-                new_root = (
-                    tighten_dual_bound(new_root_raw, int_tol)
-                    if obj_is_integral
-                    else new_root_raw
-                )
-                floored = 0
-                for n in frontier:
-                    if n.parent_dual_bound < new_root:
-                        n.parent_dual_bound = new_root
-                        n.parent_dual_bound_raw = max(
-                            n.parent_dual_bound_raw, new_root_raw
-                        )
-                        floored += 1
-                global_lower = max(global_lower, new_root) if np.isfinite(global_lower) else new_root
-                global_lower_raw = (
-                    max(global_lower_raw, new_root_raw)
-                    if np.isfinite(global_lower_raw)
-                    else new_root_raw
-                )
-                log.info(
-                    f"Reduced-root LP bound {new_root_raw:.6g} -> floor "
-                    f"{new_root:.6g} applied to {floored} frontier nodes"
-                )
-                prune_frontier()
 
     while processed < bnb.max_nodes:
         now = time.monotonic()
@@ -829,7 +932,7 @@ def branch_and_bound(
             g = compute_mip_gap(best_obj, global_lower_raw)
             log.info(
                 f"  nodes={processed:4d} frontier={len(frontier):4d} "
-                f"lp_iters={total_lp_iters:5d} cuts={root_cuts:4d} "
+                f"lp_iters={total_lp_iters:5d} cuts={root_cuts + tree_cuts:4d} "
                 f"incumbent={best_obj:10.6g} dual={global_lower_raw:10.6g} "
                 f"gap={g * 100:.4f}%"
             )
@@ -858,6 +961,7 @@ def branch_and_bound(
 
         opts = reduced_opts if iterations_reduced else full_opts
         results = solver.solve_nodes(batch, opts, deadline)
+        tree_cut_cands = []
 
         for node, res in zip(batch, results):
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
@@ -963,6 +1067,15 @@ def branch_and_bound(
             cands = cands[base.active[cands]]
             if len(cands) == 0:
                 continue
+            # candidate for in-tree cut separation (see below, after the
+            # window): bound-improving nodes are preferred, but plateau
+            # nodes — whose LP re-finds the SAME stuck bound — are exactly
+            # where new cutting planes must come from, so collect both
+            # (improvers first)
+            if dual_improved:
+                tree_cut_cands.insert(0, res)
+            else:
+                tree_cut_cands.append(res)
             var = -1
             if (
                 bnb.strong_branch_depth > 0
@@ -1010,6 +1123,41 @@ def branch_and_bound(
                         f"MIP gap stagnant for {bnb.gap_stagnation_window} nodes, "
                         f"reducing LP iterations"
                     )
+
+        # ---- in-tree cut separation ----
+        # Cuts separated from NODE LP points are globally valid here:
+        # branch decisions are column fixings, so the rows any CG
+        # aggregation touches are always original covering/cut rows
+        # (u >= 0 combination + integer rounding is valid for every
+        # integer cover).  The reference appends node-local cut rows
+        # instead (build_branch_model, src/sypha_solver_bnb.cpp:418-490);
+        # appending globally tightens EVERY open subtree at once, which is
+        # what plateaued SCP duals need.  Bounded by the padded bucket so
+        # no recompile ever triggers.
+        if (
+            bnb.cuts_enabled
+            and bnb.tree_cut_nodes_per_round > 0
+            and tree_cut_rounds < bnb.tree_cut_max_rounds
+            and tree_cut_cands
+        ):
+            room = solver.room_for_cuts()
+            added = []
+            for res_c in tree_cut_cands[: bnb.tree_cut_nodes_per_round]:
+                if len(added) >= room:
+                    break
+                cuts = separate_cuts(
+                    base, res_c["x"], res_c["y"], int_tol, bnb.max_cuts_per_round
+                )
+                added += fresh_cuts(cuts, room - len(added))
+            if added:
+                base.add_cuts(added)
+                tree_cuts += len(added)
+                tree_cut_rounds += 1
+                solver.refresh()
+                log.debug(
+                    f"In-tree separation: +{len(added)} cuts "
+                    f"(total {tree_cuts}, room {solver.room_for_cuts()})"
+                )
 
     # final checkpoint: a time-limited run can resume where it stopped
     if bnb.checkpoint_path and (hard_limit_reached or frontier):
@@ -1080,6 +1228,7 @@ def branch_and_bound(
             incumbent_source=incumbent_source,
             wall_time_sec=wall,
             root_cuts=root_cuts,
+            tree_cuts=tree_cuts,
         )
 
     log.info("No integer incumbent found within node limit")
@@ -1101,6 +1250,7 @@ def branch_and_bound(
                 incumbent_source="lp_relaxation_fallback",
                 wall_time_sec=time.monotonic() - t_start,
                 root_cuts=root_cuts,
+                tree_cuts=tree_cuts,
             )
     return MilpResult(
         status=MilpStatus.NOT_SOLVED,
@@ -1112,4 +1262,5 @@ def branch_and_bound(
         incumbent_source="none",
         wall_time_sec=wall,
         root_cuts=root_cuts,
+        tree_cuts=tree_cuts,
     )

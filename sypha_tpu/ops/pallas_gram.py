@@ -6,9 +6,14 @@ HBM around the MXU op; this kernel pins a lane tile of Aw in VMEM and emits
 the whole Gram per program, measured ~1.3-1.5x faster than the einsum at
 bench scale (1280 x 208 x 1280 f32) on v5e.
 
-Used by ipm.shared._shared_factor when ``IpmOptions.gram_backend ==
-"pallas"`` (the default on TPU backends); falls back to the einsum on
-backends without Mosaic (CPU tests) or when shapes exceed the VMEM budget.
+Used by ipm.shared._shared_factor via ``batched_gram``: on TPU backends the
+kernel is tried by default behind a per-shape PROBE (a standalone compile +
+run at trace time) that falls back to the einsum when the Mosaic toolchain
+rejects it — this environment's REMOTE Mosaic compile helper is flaky
+(identical kernel+shape compiled and ran 1.3x faster than the einsum, then
+later recompiles of the same HLO returned HTTP 500).  CPU/GPU backends and
+shapes exceeding the VMEM budget always use the einsum.  Override with
+SYPHA_TPU_GRAM=einsum|pallas|auto.
 """
 
 from __future__ import annotations
@@ -62,22 +67,49 @@ def pick_lane_tile(B: int, m: int, n: int) -> int:
     return 0
 
 
-def batched_gram(Aw: jnp.ndarray, backend: str = "env") -> jnp.ndarray:
-    """Gram dispatch.
+# probe results per (lane_tile, m, n): True = the Mosaic kernel compiled
+# and ran for this shape in this process; False = fall back to einsum
+_PROBE_CACHE: dict = {}
 
-    Default is the XLA einsum: this environment's REMOTE Mosaic compiler is
-    flaky (the identical kernel+shape compiled and ran 1.3x faster than the
-    einsum at bench scale, then later recompiles of the same HLO started
-    returning HTTP 500 from the compile helper), so the kernel must be
-    opted into with SYPHA_TPU_GRAM=pallas where the toolchain is healthy.
+
+def _pallas_probe(T: int, m: int, n: int) -> bool:
+    """Standalone compile+run of the kernel at the target tile shape.
+
+    Runs EAGERLY (host-side, also fine at trace time of an enclosing jit):
+    catching a Mosaic/compile failure here keeps the kernel out of the
+    enclosing executable, which could not recover from it."""
+    key = (T, m, n)
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        import numpy as np
+
+        a = jnp.asarray(np.ones((T, m, n), np.float32))
+        out = jax.device_get(pallas_gram(a, lane_tile=T))
+        ok = bool(abs(float(out[0, 0, 0]) - n) < 1e-3)
+    except Exception:  # Mosaic rejection, remote-compile 500, OOM, ...
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
+
+
+def batched_gram(Aw: jnp.ndarray, backend: str = "env") -> jnp.ndarray:
+    """Gram dispatch: Pallas kernel on TPU (probe-gated, einsum fallback).
+
+    ``backend``: "env" reads SYPHA_TPU_GRAM (default "auto"); "auto" uses
+    the kernel on TPU backends whenever the tile fits VMEM and the probe
+    compile succeeds; "pallas" forces it (no probe); "einsum" disables.
     """
     import os
 
     B, m, n = Aw.shape
     if backend == "env":
-        backend = os.environ.get("SYPHA_TPU_GRAM", "einsum")
-    if backend == "pallas":
-        T = pick_lane_tile(B, m, n)
-        if T:
-            return pallas_gram(Aw, lane_tile=T)
+        backend = os.environ.get("SYPHA_TPU_GRAM", "auto")
+    if backend in ("pallas", "auto"):
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if on_tpu or backend == "pallas":
+            T = pick_lane_tile(B, m, n)
+            if T and (backend == "pallas" or _pallas_probe(T, m, n)):
+                return pallas_gram(Aw, lane_tile=T)
     return jnp.einsum("bik,bjk->bij", Aw, Aw, preferred_element_type=jnp.float32)

@@ -167,3 +167,38 @@ def test_generic_milp_binary_upper_bounds():
     assert status == ResultStatus.OPTIMAL
     assert abs(s.objective_value() - 2.0) < 1e-6
     assert all(x.solution_value() <= 1.0 + 1e-6 for x in xs)
+
+
+def test_generic_milp_proves_optimal_with_gap():
+    """The upgraded generic path must return OPTIMAL (via gap closure /
+    frontier exhaustion without a limit), report a dual bound, and find a
+    rounding-heuristic incumbent on a larger knapsack."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n = 12
+    vals = rng.randint(5, 30, size=n).astype(float)
+    wts = rng.randint(1, 10, size=n).astype(float)
+    cap_val = float(wts.sum() // 2)
+
+    s = Solver("knapsack12")
+    xs = [s.MakeBoolVar(f"x{j}") for j in range(n)]
+    cap = s.MakeRowConstraint(-s.infinity(), cap_val)
+    for x, w in zip(xs, wts):
+        cap.SetCoefficient(x, w)
+    obj = s.MutableObjective()
+    for x, v in zip(xs, vals):
+        obj.SetCoefficient(x, v)
+    obj.SetMaximization()
+    status = s.Solve()
+    assert status == ResultStatus.OPTIMAL, status
+
+    # brute-force oracle
+    best = 0.0
+    for m in range(1 << n):
+        sel = np.array([(m >> j) & 1 for j in range(n)], float)
+        if sel @ wts <= cap_val + 1e-9:
+            best = max(best, float(sel @ vals))
+    assert abs(s.objective_value() - best) < 1e-6
+    # dual bound must cover the optimum (maximize: bound >= objective)
+    assert s.dual_objective_value() >= s.objective_value() - 1e-6
