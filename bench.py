@@ -70,6 +70,16 @@ def main():
             file=sys.stderr,
         )
 
+    # single-LP warm latency: ONE scp41 lane start-to-1e-8 (reference CUDA
+    # solver: 1.70 s, benchmark/results/scp4_sypha_results.csv:2)
+    single = jax.jit(lambda g: mehrotra_solve_shared(g, opts))
+    one = make_shared_batch(pad_lp(models[0], m_pad=mp, n_pad=np_), 1)
+    jax.device_get(single(one).status)  # compile + warm
+    t1 = time.perf_counter()
+    st1 = single(one)
+    jax.device_get(st1.status)
+    single_latency = time.perf_counter() - t1
+
     solves_per_s = B / dt
     print(
         json.dumps(
@@ -78,6 +88,15 @@ def main():
                 "value": round(solves_per_s, 2),
                 "unit": "solves/s/chip",
                 "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 1),
+                "single_lp_latency_s": round(single_latency, 4),
+                "single_lp_vs_ref_1p70s": round(1.70 / single_latency, 1),
+                "methodology": (
+                    f"{G} instance groups x {lanes} replicated lanes per "
+                    "group (the B&B node-window layout: one shared A per "
+                    "group, lanes differ only in masks/rhs); every lane is "
+                    "a full independent IPM solve to 1e-8; warm-cache, "
+                    "compile excluded; latency = 1 lane of scp41 warm"
+                ),
             }
         )
     )

@@ -37,6 +37,15 @@ def main():
     ap.add_argument("--lp-only", action="store_true")
     ap.add_argument("--time-limit", type=float, default=120.0)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results"))
+    ap.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the per-family warmup run (first instance, untimed) that "
+        "compiles every executable shape before the timed sweeps; without "
+        "it, one-time XLA compiles (~minutes through the remote-compile "
+        "tunnel, and the persistent cache is unreliable across processes) "
+        "land inside the first instance's timings",
+    )
     args = ap.parse_args()
 
     from sypha_tpu import pad_lp, read_scp_file, solve_lp
@@ -51,10 +60,34 @@ def main():
 
     rows = []
     for fam in args.families.split(","):
-        for name in FAMILIES.get(fam.strip(), []):
+        fam_names = [
+            n
+            for n in FAMILIES.get(fam.strip(), [])
+            if os.path.exists(os.path.join(DATA_DIR, f"{n}.txt"))
+        ]
+        if fam_names and not args.no_warmup:
+            # warmup: run the family's first instance once, untimed, so
+            # every executable shape (node-window rungs, chunked/resume
+            # variants) is compiled before the timed sweep
+            wname = fam_names[0]
+            t_w = time.monotonic()
+            wm = read_scp_file(os.path.join(DATA_DIR, f"{wname}.txt"))
+            if args.lp_only:
+                solve_lp(pad_lp(wm), IpmOptions())
+            else:
+                wcfg = SolverConfig(
+                    verbosity=1,
+                    bnb=BnbOptions(
+                        hard_time_limit_sec=min(30.0, args.time_limit),
+                    ),
+                )
+                branch_and_bound(wm, wcfg)
+            print(
+                f"[{fam}] warmup on {wname}: {time.monotonic() - t_w:.1f}s "
+                "(compiles; excluded from timed rows)"
+            )
+        for name in fam_names:
             path = os.path.join(DATA_DIR, f"{name}.txt")
-            if not os.path.exists(path):
-                continue
             t0 = time.monotonic()
             model = read_scp_file(path)
             t_pre = time.monotonic() - t0

@@ -173,6 +173,10 @@ class BnbOptions:
     # iter_chunk_target_sec of wall time per dispatch.
     iter_chunk: int = 8
     iter_chunk_target_sec: float = 3.0
+    # Compile every node-LP executable before starting the solve clock
+    # (the reference's C++ is AOT-compiled; XLA compiles here are 20-300 s
+    # through a remote tunnel and must not eat the hard time budget).
+    precompile: bool = True
     # Multi-chip node windows: when >0, the driver builds a jax mesh over
     # this many devices and dispatches every window through
     # parallel.mesh.solve_node_batch_sharded (lane axis sharded, base LP

@@ -68,10 +68,10 @@ def solve_node_batch(
     elif warm is not None:
         xw, yw, sw = warm
         eps = 1e-3
-        x0 = jnp.maximum(xw.astype(batch.A.dtype), eps)
-        s0 = jnp.maximum(sw.astype(batch.A.dtype), eps)
+        x0 = jnp.maximum(xw.astype(batch.c.dtype), eps)
+        s0 = jnp.maximum(sw.astype(batch.c.dtype), eps)
         st = mehrotra_solve_shared(
-            batch, opts, x0, yw.astype(batch.A.dtype), s0,
+            batch, opts, x0, yw.astype(batch.c.dtype), s0,
             iter_limit=iter_limit,
         )
     else:

@@ -43,7 +43,9 @@ from sypha_tpu.ops.linalg import block_chol_inverse
 class SharedLpBatch:
     """B standard-form LP lanes min c.x, A(mask)x = b, x >= 0 sharing one A.
 
-    A: [m, n] f64 (shared); b: [B, m]; c: [B, n]; col_mask: [B, n] in {0,1};
+    A: [m, n] f64 (shared) — either a dense array or an ops.ell.EllMatrix
+    (the padded-ELL sparse operator; forces the matrix-free CG strategy);
+    b: [B, m]; c: [B, n]; col_mask: [B, n] in {0,1};
     row_pad: [m] (1 on pad rows); obj_offset: [B].
     """
 
@@ -66,6 +68,28 @@ class SharedLpBatch:
     def n_lanes(self) -> int:
         return self.b.shape[-2] if self.b.ndim >= 2 else 1
 
+    @property
+    def is_sparse(self) -> bool:
+        from sypha_tpu.ops.ell import EllMatrix
+
+        return isinstance(self.A, EllMatrix)
+
+
+def _A_products(A):
+    """(Av, ATu, sqAv) for dense [m, n] arrays or EllMatrix operators:
+    Av: [..., n] -> [..., m] = A @ v;  ATu: [..., m] -> [..., n] = A^T @ u;
+    sqAv: [..., n] -> [..., m] = (A∘A) @ d (the Jacobi-diagonal product)."""
+    from sypha_tpu.ops.ell import EllMatrix
+
+    if isinstance(A, EllMatrix):
+        return A.Av, A.ATu, A.sqAv
+    A2 = A * A
+    return (
+        lambda v: v @ A.T,
+        lambda u: u @ A,
+        lambda d: d @ A2.T,
+    )
+
 
 def make_shared_batch(lp: PaddedLp, n_lanes: int) -> SharedLpBatch:
     """Replicate a single PaddedLp into a SharedLpBatch of ``n_lanes``."""
@@ -86,6 +110,57 @@ def make_shared_batch(lp: PaddedLp, n_lanes: int) -> SharedLpBatch:
     )
 
 
+def make_shared_batch_sparse(
+    model,
+    n_lanes: int,
+    m_pad: Optional[int] = None,
+    n_pad: Optional[int] = None,
+) -> SharedLpBatch:
+    """ScpModel -> SharedLpBatch whose A is a padded-ELL sparse operator.
+
+    Same padding conventions as pad_lp/make_shared_batch (pad columns cost
+    1 and masked out; pad rows rhs 0 with row_pad regularisation), but the
+    standard form [A0 | -I] is built straight into EllMatrix row/column
+    slots — the dense [m_pad, n_pad] matrix is never materialized.  The
+    solve rides the matrix-free Jacobi-CG strategy (batch.is_sparse forces
+    it), mirroring the reference's Krylov backend
+    (src/sypha_solver_krylov.cu) at ~nnz/(m*n) of the dense memory.
+    """
+    from sypha_tpu.io.standard_form import bucket_dims
+    from sypha_tpu.ops.ell import ell_from_rows
+
+    m, n0 = model.nrows, model.ncols
+    n = n0 + m
+    auto_mp, auto_np = bucket_dims(m, n)
+    mp = m_pad if m_pad is not None else auto_mp
+    np_ = n_pad if n_pad is not None else auto_np
+    rows = [
+        (np.asarray(cols, dtype=np.int32), np.ones(len(cols))) for cols in model.rows
+    ]
+    A = ell_from_rows(rows, n_struct=n0, m_pad=mp, n_pad=np_)
+
+    b = np.zeros(mp)
+    b[:m] = 1.0
+    c = np.ones(np_)
+    c[:n0] = model.costs
+    c[n0:n] = 0.0
+    row_pad = np.zeros(mp)
+    row_pad[m:] = 1.0
+
+    B = n_lanes
+    mask = jnp.broadcast_to(
+        (jnp.arange(np_) < n).astype(jnp.float64), (B, np_)
+    )
+    return SharedLpBatch(
+        A=A,
+        b=jnp.broadcast_to(jnp.asarray(b), (B, mp)),
+        c=jnp.broadcast_to(jnp.asarray(c), (B, np_)),
+        col_mask=mask,
+        row_pad=jnp.asarray(row_pad),
+        obj_offset=jnp.zeros((B,)),
+    )
+
+
 def fix_columns(
     batch: SharedLpBatch,
     fix0: np.ndarray,
@@ -98,11 +173,12 @@ def fix_columns(
     (the branch row x_j >= 1 of reference build_branch_model,
     src/sypha_solver_bnb.cpp:418-490, without the row).
     """
-    fix0 = jnp.asarray(fix0, batch.A.dtype)
-    fix1 = jnp.asarray(fix1, batch.A.dtype)
+    Av, _, _ = _A_products(batch.A)
+    fix0 = jnp.asarray(fix0, batch.c.dtype)
+    fix1 = jnp.asarray(fix1, batch.c.dtype)
     fixed = jnp.clip(fix0 + fix1, 0.0, 1.0)
     mask = batch.col_mask * (1.0 - fixed)
-    b = batch.b - fix1 @ batch.A.T
+    b = batch.b - Av(fix1)
     c = jnp.where(mask > 0, batch.c, 1.0)
     offset = batch.obj_offset + jnp.sum(fix1 * batch.c, axis=-1)
     return SharedLpBatch(
@@ -189,15 +265,16 @@ def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32, use_cg: bo
     from sypha_tpu.ops.spd import pcg_solve
 
     A, b, c, mask = batch.A, batch.b, batch.c, batch.col_mask
+    Av, ATu, sqAv = _A_products(A)
     ft, ridge = _factor_params(opts)
     row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
     psum, pmin, _ = _reducers(axis_name)
 
     def matvec(v):
-        return psum((mask * (v @ A)) @ A.T) + batch.row_pad * v
+        return psum(Av(mask * ATu(v))) + batch.row_pad * v
 
     if use_cg:
-        diag = psum(mask @ (A * A).T) + row_reg
+        diag = psum(sqAv(mask)) + row_reg
         solve = lambda f: pcg_solve(
             lambda r: r / jnp.maximum(diag, 1e-300),
             matvec, f, 1e-12, opts.cg_max_iter,
@@ -210,10 +287,10 @@ def shared_initial_point(batch: SharedLpBatch, opts: IpmOptions, A32, use_cg: bo
         solve = lambda f: _pcg(Linv, dinv, matvec, f, 1e-12, opts.newton_max_steps)[0]
 
     vy = solve(b)
-    x = mask * (vy @ A)
-    Ac = psum((mask * c) @ A.T)
+    x = mask * ATu(vy)
+    Ac = psum(Av(mask * c))
     y = solve(Ac)
-    s = c - mask * (y @ A)
+    s = c - mask * ATu(y)
 
     delta_x = jnp.maximum(-1.5 * pmin(jnp.min(x, axis=-1, keepdims=True)), 0.0)
     delta_s = jnp.maximum(-1.5 * pmin(jnp.min(s, axis=-1, keepdims=True)), 0.0)
@@ -262,12 +339,19 @@ def mehrotra_solve_shared(
     from sypha_tpu.ops.spd import pcg_solve
 
     A, b, c, mask = batch.A, batch.b, batch.c, batch.col_mask
+    Av, ATu, sqAv = _A_products(A)
     B, n_pad = c.shape[-2], c.shape[-1]
     ft, ridge = _factor_params(opts)
-    A32 = A.astype(ft)
-    row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
     use_cg = use_cg_strategy(opts, batch.m_pad)
-    A2 = A * A if use_cg else None  # Jacobi diagonal source (hoisted)
+    # the dense-factor strategy forms its f32 Gram preconditioner from a
+    # dense A; with the ELL operator that dense f32 view is scattered
+    # transiently (todense(float32)) while every f64 product stays
+    # matrix-free — sparse storage, dense-strength preconditioning
+    if use_cg:
+        A32 = None
+    else:
+        A32 = A.todense(ft) if batch.is_sparse else A.astype(ft)
+    row_reg = jnp.broadcast_to(batch.row_pad, b.shape)
     # tensor-parallel mode: the n (column) axis is sharded over axis_name;
     # every sum/min over n and every A-product onto the row space reduces
     # across chips.  axis_name=None degrades to identity reducers.
@@ -330,8 +414,8 @@ def mehrotra_solve_shared(
         predicate lowers to select and executes both branches.)"""
         x, y, s = st.x, st.y, st.s
 
-        r_b = psum((mask * x) @ A.T) - b
-        r_c = mask * (y @ A) + s - c
+        r_b = psum(Av(mask * x)) - b
+        r_c = mask * ATu(y) + s - c
         mu = psum(jnp.sum(x * s, axis=-1)) / n_total
 
         pobj = psum(jnp.sum(c * x, axis=-1))
@@ -362,12 +446,12 @@ def mehrotra_solve_shared(
         d2_eff = d2 * mask
 
         def matvec(v):
-            return psum((d2_eff * (v @ A)) @ A.T) + batch.row_pad * v
+            return psum(Av(d2_eff * ATu(v))) + batch.row_pad * v
 
         if use_cg:
             # Jacobi-CG Krylov path with the reference's adaptive tolerance
             # schedule per IPM iteration (src/sypha_solver.cpp:552-553)
-            diag = psum(d2_eff @ A2.T) + row_reg
+            diag = psum(sqAv(d2_eff)) + row_reg
             cg_tol = jnp.maximum(
                 opts.cg_tol_final,
                 opts.cg_tol_initial
@@ -400,9 +484,9 @@ def mehrotra_solve_shared(
 
         def newton(r_xs):
             vec1 = r_xs / s_safe
-            f = psum((mask * (vec1 - d2 * r_c)) @ A.T) - r_b
+            f = psum(Av(mask * (vec1 - d2 * r_c))) - r_b
             dy, solve_rel = solve(f)
-            ds = -r_c - mask * (dy @ A)
+            ds = -r_c - mask * ATu(dy)
             dx = -vec1 - d2 * ds
             return dx, dy, ds, solve_rel
 
@@ -433,9 +517,9 @@ def mehrotra_solve_shared(
                               opts.corrector_beta_max * mu_t)
             t = v - target  # residual to remove (0 inside the window)
             vec1 = t / s_safe
-            fcc = (mask * vec1) @ A.T
+            fcc = psum(Av(mask * vec1))
             dyc, _ = solve(fcc)
-            dsc = -(mask * (dyc @ A))
+            dsc = -(mask * ATu(dyc))
             dxc = -vec1 - d2 * dsc
             ap2 = _alpha_max_batch(x, dx + dxc)
             ad2 = _alpha_max_batch(s, ds + dsc)
@@ -473,7 +557,7 @@ def mehrotra_solve_shared(
         # residual gate on dy can see).  A rejected step terminates the lane
         # at its current (best) iterate with GAP_STALLED.
         res_p_new = jnp.linalg.norm(
-            psum((mask * x_new) @ A.T) - b, axis=-1
+            psum(Av(mask * x_new)) - b, axis=-1
         ) / norm_b
         step_bad = res_p_new > jnp.maximum(10.0 * res_p, 1e-4)
         solve_failed = (jnp.maximum(rel_a, rel_c) > solve_gate) | step_bad

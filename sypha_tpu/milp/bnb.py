@@ -84,10 +84,19 @@ def compute_mip_gap(incumbent: float, dual_bound: float) -> float:
 
 
 def tighten_dual_bound(bound: float, tol: float) -> float:
-    """ceil(bound - tol) for integral objectives (src/sypha_solver_bnb.cpp:398-403)."""
+    """ceil(bound - tol) for integral objectives (src/sypha_solver_bnb.cpp:398-403).
+
+    Deviation from the reference: the tolerance is widened by a
+    scale-aware term 1e-7 * max(1, |bound|) because a CONVERGED dual
+    objective at our 1e-8 relative-gap target can still exceed the true
+    LP optimum by ~gap * |obj| (~5e-6 at obj ~500) — ceiling through that
+    error once turned a true bound of 494+4e-6 into 495 and "proved" a
+    wrong optimum on scp44.  The widened tolerance only ever weakens the
+    tightening, never the soundness."""
     if not np.isfinite(bound):
         return bound
-    return float(np.ceil(bound - tol))
+    safety = tol + 1e-7 * max(1.0, abs(bound))
+    return float(np.ceil(bound - safety))
 
 
 class _NodeLpSolver:
@@ -164,7 +173,45 @@ class _NodeLpSolver:
             jnp.asarray(iter_limit, jnp.int32),
         )
 
-    def solve_nodes(self, nodes: List[BranchNode], opts, deadline: float = np.inf):
+    def precompile(self, opts_list, deadline_used: bool) -> float:
+        """Compile every executable the B&B will dispatch, up front.
+
+        XLA compiles through this environment's remote-compile tunnel cost
+        20-300 s per executable and the persistent cache is unreliable
+        across processes (CLAUDE.md); letting them land inside the hard
+        time budget turns a "120 s run" into a compile lottery.  The
+        reference's C++ is ahead-of-time compiled — its budget never pays
+        compilation — so the driver calls this BEFORE starting the clock.
+        Compiles each (opts, rung) cold variant plus, when a deadline will
+        chunk solves, the resume variant.  Returns elapsed seconds.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.monotonic()
+        if self._device_base is None:
+            self._rebuild_device_base()
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        rungs = sorted({max(1, n_dev), _round_up(self.cfg.bnb.node_batch, n_dev)})
+        np_ = self._device_base.n_pad
+        for opts in opts_list:
+            for B in rungs:
+                fix0 = jnp.zeros((B, np_))
+                fix1 = jnp.zeros((B, np_))
+                st, *_ = self._dispatch(fix0, fix1, opts, None, None, 1)
+                jax.device_get(st.status)
+                if deadline_used:
+                    st2, *_ = self._dispatch(fix0, fix1, opts, None, st, 2)
+                    jax.device_get(st2.status)
+        return time.monotonic() - t0
+
+    def solve_nodes(
+        self,
+        nodes: List[BranchNode],
+        opts,
+        deadline: float = np.inf,
+        total_iters: Optional[int] = None,
+    ):
         """Solve a batch of node LPs; returns host-side per-node dicts.
 
         ``deadline`` (absolute time.monotonic()) bounds the wall time: the
@@ -173,6 +220,11 @@ class _NodeLpSolver:
         window solve (reference per-iteration watchdog,
         src/sypha_solver.cpp:498-502).  Lanes stopped early report
         MAX_ITER; the driver's weak-duality path still extracts bounds.
+
+        ``total_iters`` overrides opts.max_iter as the per-lane iteration
+        budget WITHOUT changing the compiled executable (the cap is a
+        traced scalar) — how the driver's gap-stagnation throttling avoids
+        a second compile.
         """
         import jax
         import jax.numpy as jnp
@@ -225,6 +277,7 @@ class _NodeLpSolver:
         fix0j, fix1j = jnp.asarray(fix0), jnp.asarray(fix1)
 
         bnb = self.cfg.bnb
+        total = total_iters if total_iters is not None else opts.max_iter
 
         def next_chunk(remaining_iters: int) -> int:
             if self._sec_per_iter is None:
@@ -242,7 +295,7 @@ class _NodeLpSolver:
             # later deadline-bound call can size its first chunk
             t0 = time.monotonic()
             st, x_full, pobj, dobj = self._dispatch(
-                fix0j, fix1j, opts, warm, None, opts.max_iter
+                fix0j, fix1j, opts, warm, None, total
             )
             iters = np.asarray(jax.device_get(st.iterations))
             dt = time.monotonic() - t0
@@ -258,7 +311,7 @@ class _NodeLpSolver:
             resume = None
             st = x_full = pobj = dobj = None
             while True:
-                limit = min(opts.max_iter, done + next_chunk(opts.max_iter - done))
+                limit = min(total, done + next_chunk(total - done))
                 t0 = time.monotonic()
                 st, x_full, pobj, dobj = self._dispatch(
                     fix0j, fix1j, opts,
@@ -276,7 +329,7 @@ class _NodeLpSolver:
                 resume = st
                 if not np.any(status_h == int(IpmStatus.MAX_ITER)):
                     break  # every lane terminated for a real reason
-                if done >= opts.max_iter or time.monotonic() >= deadline:
+                if done >= total or time.monotonic() >= deadline:
                     break
         host = jax.device_get(
             {
@@ -457,6 +510,28 @@ def branch_and_bound(
     ipm_opts = cfg.ipm.replace(
         newton_max_steps=max(cfg.ipm.newton_max_steps, 48)
     )
+
+    if bnb.precompile:
+        # compile every (opts, window-rung) executable BEFORE the clock
+        # starts: the reference's C++ is AOT-compiled, so its hard time
+        # budget never pays compilation; ours shouldn't either (remote
+        # compiles here are 20-300 s each and the persistent cache is
+        # unreliable across processes)
+        _pre_opts = [
+            ipm_opts,
+            ipm_opts.replace(
+                gap_stall_window=bnb.gap_stall_branch_iters,
+                gap_stall_min_improv=bnb.gap_stall_min_improv_pct / 100.0,
+            ),
+        ]
+        compile_s = solver.precompile(_pre_opts, deadline_used=_hard0 > 0)
+        if compile_s > 1.0:
+            log.info(
+                f"Precompiled node-LP executables in {compile_s:.1f}s "
+                "(excluded from the time budget)"
+            )
+        t_start += compile_s
+        deadline += compile_s
 
     def solve_single(node: BranchNode):
         return solver.solve_nodes([node], ipm_opts, deadline)[0]
@@ -735,7 +810,9 @@ def branch_and_bound(
         gap_stall_window=bnb.gap_stall_branch_iters,
         gap_stall_min_improv=bnb.gap_stall_min_improv_pct / 100.0,
     )
-    reduced_opts = full_opts.replace(max_iter=max(5, ipm_opts.max_iter // 3))
+    # gap-stagnation throttling reuses full_opts with a lower traced
+    # iteration cap (total_iters) — same compiled executable
+    reduced_iters = max(5, ipm_opts.max_iter // 3)
     iterations_reduced = False
     best_mip_gap_seen = np.inf
     node_at_last_improvement = 0
@@ -865,6 +942,8 @@ def branch_and_bound(
         for _ in range(8):  # fix -> re-solve -> fix until a fixpoint
             solver.refresh()
             drop_masked_nodes()
+            if time_up():
+                return
             res = solve_single(BranchNode())
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
                 if node_coverable(None):
@@ -959,8 +1038,12 @@ def branch_and_bound(
                 break
             continue
 
-        opts = reduced_opts if iterations_reduced else full_opts
-        results = solver.solve_nodes(batch, opts, deadline)
+        results = solver.solve_nodes(
+            batch,
+            full_opts,
+            deadline,
+            total_iters=reduced_iters if iterations_reduced else None,
+        )
         tree_cut_cands = []
 
         for node, res in zip(batch, results):
@@ -1053,41 +1136,86 @@ def branch_and_bound(
             if node_dual >= best_obj - px_tol:
                 continue
 
-            if integral_cover(res):
-                if res["pobj"] < best_obj - px_tol:
-                    x_int = np.clip(np.floor(res["x"] + 0.5), 0, 1)
-                    adopt(x_int, "exact_node", float(base.costs @ x_int))
-                    node_at_last_improvement = processed
-                    log.info(f"New incumbent from node LP: {best_obj:.12g}")
-                    prune_frontier()
-                    mid_bnb_reductions()
-                continue
-
-            cands = fractional_candidates(res["x"], base.ncols, int_tol)
-            cands = cands[base.active[cands]]
-            if len(cands) == 0:
-                continue
-            # candidate for in-tree cut separation (see below, after the
-            # window): bound-improving nodes are preferred, but plateau
-            # nodes — whose LP re-finds the SAME stuck bound — are exactly
-            # where new cutting planes must come from, so collect both
-            # (improvers first)
-            if dual_improved:
-                tree_cut_cands.insert(0, res)
-            else:
-                tree_cut_cands.append(res)
+            # --- terminal / branch decision.  Every node must end in one
+            # of: bound-prune (above), exact close (CONVERGED integral
+            # LP), branch, or an EXPLICIT numerical-failure record that
+            # caps optimality claims.  A silent close is unsound: a lane
+            # that stalls on an integral-but-not-better iterate has
+            # neither solved nor bounded its subtree (this once "proved"
+            # 495 on scp44 whose optimum is 494).  Unbranchable nodes get
+            # one rescue re-solve at full accuracy (no stall window)
+            # before being declared failures. ---
             var = -1
-            if (
-                bnb.strong_branch_depth > 0
-                and node.depth <= bnb.strong_branch_depth
-                and len(cands) > 1
-            ):
-                var = strong_branch_variable(node, res, cands)
-            if var < 0:
-                var = select_branch_variable(
-                    bnb.var_selection, res["x"], base.costs, cands
+            for attempt in (0, 1):
+                if integral_cover(res):
+                    if res["pobj"] < best_obj - px_tol:
+                        x_int = np.clip(np.floor(res["x"] + 0.5), 0, 1)
+                        adopt(x_int, "exact_node", float(base.costs @ x_int))
+                        node_at_last_improvement = processed
+                        log.info(f"New incumbent from node LP: {best_obj:.12g}")
+                        prune_frontier()
+                        mid_bnb_reductions()
+                    if res["status"] == IpmStatus.CONVERGED:
+                        # the node's LP optimum is integral: subtree solved
+                        var = -2
+                        break
+                cands = fractional_candidates(res["x"], base.ncols, int_tol)
+                cands = cands[base.active[cands]]
+                if len(cands):
+                    # candidate for in-tree cut separation (below, after
+                    # the window): bound-improving nodes first, but
+                    # plateau nodes — whose LP re-finds the SAME stuck
+                    # bound — are exactly where new cuts must come from
+                    if dual_improved:
+                        tree_cut_cands.insert(0, res)
+                    else:
+                        tree_cut_cands.append(res)
+                    if (
+                        bnb.strong_branch_depth > 0
+                        and node.depth <= bnb.strong_branch_depth
+                        and len(cands) > 1
+                    ):
+                        var = strong_branch_variable(node, res, cands)
+                    if var < 0:
+                        var = select_branch_variable(
+                            bnb.var_selection, res["x"], base.costs, cands
+                        )
+                if var >= 0 or attempt == 1:
+                    break
+                log.debug(
+                    f"rescue re-solve of unbranchable node (depth {node.depth})"
                 )
+                res = solver.solve_nodes([node], ipm_opts, deadline)[0]
+                total_lp_iters += res["iterations"]
+                if usable_bound(res):
+                    rb = res["dobj"]
+                    if res["status"] != IpmStatus.CONVERGED:
+                        rb -= max(1e-9, 1e-7 * abs(rb))
+                    node_dual_raw = max(node_dual_raw, rb)
+                    nd = max(node.parent_dual_bound, rb)
+                    if obj_is_integral:
+                        nd = tighten_dual_bound(nd, int_tol)
+                    node_dual = max(node_dual, nd)
+            if var == -2 or node_dual >= best_obj - px_tol:
+                continue
+            if var < 0 and not node_coverable(node):
+                # masking/fixings genuinely killed a row: the node LP is
+                # infeasible by construction (e.g. incumbent reductions
+                # masked every improving column) — a sound prune
+                continue
             if var < 0:
+                log.warn(
+                    f"node LP unbranchable after rescue (depth {node.depth}, "
+                    f"status {res['status'].name}); recording as numerical "
+                    "failure — optimality claims stay capped at its bound"
+                )
+                # carry the best justified bound into the failure record so
+                # the final claim is capped as tightly as possible
+                node.parent_dual_bound = max(node.parent_dual_bound, node_dual)
+                node.parent_dual_bound_raw = max(
+                    node.parent_dual_bound_raw, node_dual_raw
+                )
+                numerical_failures.append(node)
                 continue
             for value in (0, 1):
                 child = node.child(var, value)

@@ -17,15 +17,24 @@ from sypha_tpu.milp.base_model import BaseModel, Cut
 
 
 def _cg_round(agg: np.ndarray, rhs_sum: float, x: np.ndarray, tol: float):
-    """CG rounding + violation check shared by both separators.  Returns a
-    Cut or None."""
+    """CG rounding + violation check shared by the separators.  Returns a
+    Cut or None.
+
+    Soundness (learned the hard way): for a >=-aggregation the LHS
+    coefficients must round EXACTLY up — ``ceil(agg - tol)`` turns a
+    coefficient of k+4e-7 (dual noise) into k, which UNDER-counts the LHS
+    and once produced a cut violated by scp44's optimal cover ("proving"
+    495 where the optimum is 494).  Only the RHS may take the -tol slack:
+    there it merely weakens the cut.  Callers snap their aggregation
+    weights to a coarse grid first so float fuzz does not needlessly push
+    coefficients to the next integer."""
     f0 = rhs_sum - np.floor(rhs_sum)
     if f0 < tol or f0 > 1.0 - tol:
         return None
     cut_rhs = np.ceil(rhs_sum - tol)
     if cut_rhs <= tol:
         return None
-    rounded = np.ceil(agg - tol)
+    rounded = np.ceil(agg)
     keep = rounded > tol
     if not keep.any():
         return None
@@ -39,6 +48,14 @@ def _cg_round(agg: np.ndarray, rhs_sum: float, x: np.ndarray, tol: float):
     )
 
 
+def _snap(u: np.ndarray, digits: int = 9) -> np.ndarray:
+    """Snap aggregation weights to a coarse decimal grid.  Any u >= 0 is a
+    valid CG aggregation, so snapping is free; it keeps float fuzz from
+    pushing exact-integer aggregation coefficients over the next integer
+    (which the now-exact ceil would honor, weakening the cut)."""
+    return np.maximum(0.0, np.round(u, digits))
+
+
 def dual_aggregated_cg(
     model: BaseModel, x: np.ndarray, dual: np.ndarray, tol: float
 ) -> List[Cut]:
@@ -46,7 +63,7 @@ def dual_aggregated_cg(
     (reference :18-93)."""
     A, rhs = model.rel_csr()
     nrows = A.shape[0]
-    u = np.maximum(0.0, dual[:nrows])
+    u = _snap(np.maximum(0.0, dual[:nrows]))
     u[u < tol] = 0.0
     if not u.any():
         return []
@@ -83,7 +100,7 @@ def row_pair_cg(
     for ri in range(len(active_rows)):
         for rj in range(ri + 1, len(active_rows)):
             i1, i2 = int(active_rows[ri]), int(active_rows[rj])
-            u1, u2 = float(d[i1]), float(d[i2])
+            u1, u2 = float(_snap(np.asarray([d[i1]]))[0]), float(_snap(np.asarray([d[i2]]))[0])
             rhs_agg = u1 * rhs[i1] + u2 * rhs[i2]
             agg = u1 * dense_rows[i1] + u2 * dense_rows[i2]
             cut = _cg_round(agg, rhs_agg, xs, tol)

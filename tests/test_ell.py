@@ -1,0 +1,107 @@
+"""Padded-ELL sparse operator: product parity vs dense + full LP parity
+on the matrix-free CG path (VERDICT r1 item 5 / SURVEY §7 stage 3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sypha_tpu import pad_lp, read_scp_file
+from sypha_tpu.config import IpmOptions
+from sypha_tpu.core.status import IpmStatus
+from sypha_tpu.ipm.shared import (
+    make_shared_batch,
+    make_shared_batch_sparse,
+    mehrotra_solve_shared,
+)
+from sypha_tpu.ops.ell import EllMatrix, ell_from_dense, ell_from_rows
+
+
+def test_ell_products_match_dense():
+    rng = np.random.RandomState(3)
+    A = rng.rand(24, 40)
+    A[A < 0.7] = 0.0  # ~30% dense
+    ell = ell_from_dense(A, m_pad=32, n_pad=128)
+    Ap = np.zeros((32, 128))
+    Ap[:24, :40] = A
+
+    v = rng.rand(5, 128)
+    u = rng.rand(5, 32)
+    np.testing.assert_allclose(np.asarray(ell.Av(jnp.asarray(v))), v @ Ap.T, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ell.ATu(jnp.asarray(u))), u @ Ap, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ell.sqAv(jnp.asarray(v))), v @ (Ap * Ap).T, atol=1e-12
+    )
+    np.testing.assert_allclose(np.asarray(ell.todense()), Ap, atol=1e-15)
+
+
+def test_ell_from_rows_matches_standard_form(data_dir):
+    """ell_from_rows must produce exactly the padded [A0 | -I] the dense
+    path builds for the same instance."""
+    from sypha_tpu.io.standard_form import scp_standard_form, pad_standard_form
+
+    m = read_scp_file(str(data_dir / "scp_demo_tiny00.txt"))
+    A, b, c = scp_standard_form(m)
+    lp = pad_standard_form(A, b, c, n_struct=m.ncols, m_pad=16, n_pad=128)
+    rows = [(np.asarray(r, np.int32), np.ones(len(r))) for r in m.rows]
+    ell = ell_from_rows(rows, n_struct=m.ncols, m_pad=16, n_pad=128)
+    np.testing.assert_allclose(np.asarray(ell.todense()), np.asarray(lp.A), atol=1e-15)
+
+
+def test_sparse_lp_matches_dense_scp41(data_dir):
+    """scp41 LP on the sparse operator (default factor-preconditioned
+    strategy: f32 Gram from a transient scatter, f64 side matrix-free)
+    must converge to 1e-8 and match the dense path exactly."""
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    opts = IpmOptions()
+
+    sp = make_shared_batch_sparse(model, 2)
+    st = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(sp)
+    assert np.all(np.asarray(st.status) == IpmStatus.CONVERGED), np.asarray(st.status)
+    obj = np.einsum("bn,bn->b", np.asarray(sp.c), np.asarray(st.x))
+    np.testing.assert_allclose(obj, 429.0, rtol=1e-6)
+    assert np.all(np.asarray(st.gap) < 1e-8)
+
+    # same bucket on the dense path for an exact cross-check
+    dn = make_shared_batch(pad_lp(model, m_pad=sp.m_pad, n_pad=sp.n_pad), 2)
+    st_d = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(dn)
+    obj_d = np.einsum("bn,bn->b", np.asarray(dn.c), np.asarray(st_d.x))
+    np.testing.assert_allclose(obj, obj_d, rtol=1e-9)
+
+
+def test_sparse_cg_strategy_matches_dense_cg(data_dir):
+    """On the pure Jacobi-CG strategy the sparse operator must reproduce
+    the dense operator's trajectory (same status/iterations; the strategy
+    itself stalls short of 1e-8 on scp41 — parity is with dense-CG, whose
+    semantics mirror the reference Krylov backend)."""
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    opts = IpmOptions(linear_solver="cg")
+    sp = make_shared_batch_sparse(model, 1)
+    dn = make_shared_batch(pad_lp(model, m_pad=sp.m_pad, n_pad=sp.n_pad), 1)
+    st_s = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(sp)
+    st_d = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(dn)
+    assert np.asarray(st_s.status)[0] == np.asarray(st_d.status)[0]
+    obj_s = float(np.einsum("bn,bn->b", np.asarray(sp.c), np.asarray(st_s.x))[0])
+    obj_d = float(np.einsum("bn,bn->b", np.asarray(dn.c), np.asarray(st_d.x))[0])
+    # the Jacobi-CG strategy stops near ~1e-7 relative gap here; both
+    # operators must land within that accuracy of the golden 429
+    assert abs(obj_s - 429.0) < 1e-2 and abs(obj_d - 429.0) < 1e-2
+
+
+def test_sparse_memory_footprint(data_dir):
+    """The ELL operator must sit near its nnz bound, well under dense f64,
+    on the 500x5000 families.  scpnre is ~10% dense with 2 orientations at
+    8 B/slot, so the ceiling is ~3.9x; require > 3.5x (and the padding
+    overhead over raw nnz to stay < 25%)."""
+    model = read_scp_file(str(data_dir / "scpnre1.txt"))
+    sp = make_shared_batch_sparse(model, 1)
+    ell: EllMatrix = sp.A
+    ell_bytes = sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize
+        for a in (ell.row_idx, ell.row_val, ell.col_idx, ell.col_val)
+    )
+    dense_bytes = ell.m_pad * ell.n_pad * 8
+    assert ell_bytes * 3.5 < dense_bytes, (ell_bytes, dense_bytes)
+    nnz = sum(len(r) for r in model.rows) + model.nrows  # + surplus diag
+    # padding overhead comes mostly from the column orientation (max col
+    # degree 72 vs mean 50 on scpnre1) — keep it under 50% over raw nnz
+    assert ell_bytes < 1.5 * (2 * nnz * 8), (ell_bytes, nnz)

@@ -92,6 +92,32 @@ def test_cut_separation_valid_for_integer_covers():
                 assert lhs + 1e-9 >= cut.rhs, (cut.kind, bits)
 
 
+def test_cut_separation_valid_under_noisy_duals():
+    """Regression for the scp44 unsoundness: IPM duals sitting a few 1e-7
+    ABOVE integers made ceil(agg - tol) round coefficients DOWN, producing
+    cuts violated by optimal covers.  Hammer the separators with many
+    noisy near-integer dual vectors and brute-force-check validity."""
+    import itertools
+
+    rng = np.random.RandomState(11)
+    base = BaseModel(parse_scp_text(TINY))
+    covers = [
+        np.asarray(bits, dtype=np.float64)
+        for bits in itertools.product([0, 1], repeat=base.ncols)
+        if base.is_cover(np.asarray(bits, dtype=np.float64))
+    ]
+    for trial in range(200):
+        dual = rng.randint(0, 8, size=base.nrows_cover).astype(np.float64)
+        dual += rng.uniform(-5e-7, 5e-7, size=base.nrows_cover)  # IPM fuzz
+        if trial % 3 == 0:
+            dual += rng.uniform(0, 1, size=base.nrows_cover)  # fractional too
+        x = rng.uniform(0, 1, size=base.ncols)
+        for cut in separate_cuts(base, x, np.maximum(dual, 0.0), tol=1e-6):
+            for xx in covers:
+                lhs = cut.values @ xx[cut.indices]
+                assert lhs + 1e-9 >= cut.rhs, (cut.kind, dual, xx)
+
+
 def test_bnb_tiny_optimal():
     m = parse_scp_text(TINY, name="tiny")
     expected = scipy_milp_optimum(m)
