@@ -20,17 +20,11 @@ import time
 from sypha_tpu.config import BnbOptions, CgOptions, IpmOptions, SolverConfig
 
 BANNER = r"""
-	==================================================
-	==      ===  ====  ==       ===  ====  =====  ====
-	=  ====  ==   ==   ==  ====  ==  ====  ====    ===
-	=  ====  ===  ==  ===  ====  ==  ====  ===  ==  ==
-	==  ========  ==  ===  ====  ==  ====  ==  ====  =
-	====  =======    ====       ===        ==  ====  =
-	======  ======  =====  ========  ====  ==        =
-	=  ====  =====  =====  ========  ====  ==  ====  =
-	=  ====  =====  =====  ========  ====  ==  ====  =
-	==      ======  =====  ========  ====  ==  ====  =
-	==================================================
+	 ___ _   _ _ __ | |__   __ _      | |_ _ __  _   _
+	/ __| | | | '_ \| '_ \ / _` |_____| __| '_ \| | | |
+	\__ \ |_| | |_) | | | | (_| |_____| |_| |_) | |_| |
+	|___/\__, | .__/|_| |_|\__,_|      \__| .__/ \__,_|
+	     |___/|_|    batched IPM / B&B    |_|  on TPU
 """
 
 
@@ -103,6 +97,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable cutting planes at root node")
     p.add_argument("--bnb-cut-rounds-root", type=int, default=5,
                    help="max cut separation rounds at root node")
+    p.add_argument("--bnb-tree-cut-nodes", type=int, default=2,
+                   help="in-tree cut separation: fractional nodes separated "
+                   "per window round (0 = root-only cuts, the reference "
+                   "behavior)")
+    p.add_argument("--bnb-mesh-devices", type=int, default=0,
+                   help="dispatch node windows lane-sharded over this many "
+                   "devices (0 = single device)")
+    p.add_argument("--bnb-precompile", type=int, default=1,
+                   help="compile node-LP executables before starting the "
+                   "solve clock (1, default) or let compiles land in the "
+                   "time budget (0)")
+    p.add_argument("--bnb-checkpoint", default="",
+                   help="checkpoint/resume path for the search state "
+                   "('' disables)")
     p.add_argument("--bnb-max-cuts-per-round", type=int, default=50,
                    help="max cuts added per separation round")
     p.add_argument("--preprocess-columns",
@@ -164,6 +172,10 @@ def config_from_args(args) -> SolverConfig:
             max_cuts_per_round=args.bnb_max_cuts_per_round,
             var_selection=var_select,
             int_heuristics=args.bnb_int_heuristics,
+            tree_cut_nodes_per_round=args.bnb_tree_cut_nodes,
+            mesh_devices=args.bnb_mesh_devices,
+            precompile=bool(args.bnb_precompile),
+            checkpoint_path=args.bnb_checkpoint,
         ),
     )
 

@@ -119,9 +119,11 @@ class _NodeLpSolver:
         self._device_base = None
         self._inactive = None
         self._bucket = (0, 0)  # sticky: only grows, to keep compiles cached
-        # EMA of wall seconds per IPM iteration at the current bucket,
-        # used to size deadline chunks (None until first measured)
-        self._sec_per_iter = None
+        # EMA of wall seconds per IPM iteration PER LANE RUNG (keyed by B):
+        # sizes deadline chunks.  Rungs differ by ~50x (B=1 vs B=64), so a
+        # shared estimate once let a window run 60 iterations in one ~30 s
+        # dispatch and overshoot a 120 s budget by 40 s.
+        self._sec_per_iter = {}
 
     def _rebuild_device_base(self):
         A, b, c, n0 = self.base.standard_form(None)
@@ -278,15 +280,21 @@ class _NodeLpSolver:
 
         bnb = self.cfg.bnb
         total = total_iters if total_iters is not None else opts.max_iter
+        rung_spi = self._sec_per_iter.get(B)
+
+        def note_spi(spi: float):
+            nonlocal rung_spi
+            rung_spi = spi if rung_spi is None else 0.5 * rung_spi + 0.5 * spi
+            self._sec_per_iter[B] = rung_spi
 
         def next_chunk(remaining_iters: int) -> int:
-            if self._sec_per_iter is None:
+            if rung_spi is None:
                 return max(2, min(remaining_iters, bnb.iter_chunk))
             return max(
                 2,
                 min(
                     remaining_iters,
-                    int(bnb.iter_chunk_target_sec / max(self._sec_per_iter, 1e-6)),
+                    int(bnb.iter_chunk_target_sec / max(rung_spi, 1e-6)),
                 ),
             )
 
@@ -298,13 +306,7 @@ class _NodeLpSolver:
                 fix0j, fix1j, opts, warm, None, total
             )
             iters = np.asarray(jax.device_get(st.iterations))
-            dt = time.monotonic() - t0
-            spi = dt / max(1.0, float(iters.max()))
-            self._sec_per_iter = (
-                spi
-                if self._sec_per_iter is None
-                else 0.5 * self._sec_per_iter + 0.5 * spi
-            )
+            note_spi((time.monotonic() - t0) / max(1.0, float(iters.max())))
         else:
             # chunked dispatches with a host clock check between chunks
             done = 0
@@ -318,13 +320,7 @@ class _NodeLpSolver:
                     warm if resume is None else None, resume, limit,
                 )
                 status_h = np.asarray(jax.device_get(st.status))
-                dt = time.monotonic() - t0
-                spi = dt / max(1.0, float(limit - done))
-                self._sec_per_iter = (
-                    spi
-                    if self._sec_per_iter is None
-                    else 0.5 * self._sec_per_iter + 0.5 * spi
-                )
+                note_spi((time.monotonic() - t0) / max(1.0, float(limit - done)))
                 done = limit
                 resume = st
                 if not np.any(status_h == int(IpmStatus.MAX_ITER)):
@@ -939,6 +935,15 @@ def branch_and_bound(
         if r == 0:
             return
         log.info(f"Mid-BnB reduction: {r} cols masked, {base.n_active} active")
+        refresh_root_bound()
+
+    def refresh_root_bound():
+        """Re-solve the reduced-model root LP, floor the frontier with its
+        bound, and iterate reduced-cost fixing until a fixpoint.  Called
+        after incumbent-driven reductions AND after in-tree cuts land:
+        new cuts raise the root bound, which unlocks further fixing —
+        without this, a plateau's bound froze at the first fixpoint."""
+        nonlocal frontier
         for _ in range(8):  # fix -> re-solve -> fix until a fixpoint
             solver.refresh()
             drop_masked_nodes()
@@ -1286,6 +1291,9 @@ def branch_and_bound(
                     f"In-tree separation: +{len(added)} cuts "
                     f"(total {tree_cuts}, room {solver.room_for_cuts()})"
                 )
+                # cuts raise the root bound -> refresh the frontier floor
+                # and re-run reduced-cost fixing against it
+                refresh_root_bound()
 
     # final checkpoint: a time-limited run can resume where it stopped
     if bnb.checkpoint_path and (hard_limit_reached or frontier):

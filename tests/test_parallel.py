@@ -139,7 +139,9 @@ def test_bnb_mesh_scp41(data_dir):
 
     model = read_scp_file(str(data_dir / "scp41.txt"))
     cfg = SolverConfig(verbosity=1)
-    cfg = cfg.replace(bnb=cfg.bnb.replace(mesh_devices=8, max_nodes=64))
+    cfg = cfg.replace(
+        bnb=cfg.bnb.replace(mesh_devices=8, max_nodes=64, precompile=False)
+    )
     res = branch_and_bound(model, cfg)
     assert res.status == MilpStatus.OPTIMAL
     assert res.objective == 429.0
