@@ -325,7 +325,15 @@ class _NodeLpSolver:
                 resume = st
                 if not np.any(status_h == int(IpmStatus.MAX_ITER)):
                     break  # every lane terminated for a real reason
-                if done >= total or time.monotonic() >= deadline:
+                if (
+                    done >= total
+                    or time.monotonic() >= deadline
+                    or self.log.is_stop_requested()
+                ):
+                    # deadline/watchdog: with chunked dispatches the async
+                    # stop flag now interrupts a RUNNING solve between
+                    # chunks (the reference polls its watchdog every IPM
+                    # iteration, src/sypha_solver.cpp:498-502)
                     break
         host = jax.device_get(
             {
