@@ -719,7 +719,8 @@ def branch_and_bound(
                 break
             try_heuristics(res, root)
             cuts = separate_cuts(
-                base, res["x"], res["y"], int_tol, bnb.max_cuts_per_round
+                base, res["x"], res["y"], int_tol, bnb.max_cuts_per_round,
+                incumbent=best_obj, obj_is_integral=obj_is_integral,
             )
             cuts = fresh_cuts(cuts, solver.room_for_cuts())
             if not cuts:
@@ -1287,7 +1288,9 @@ def branch_and_bound(
                 if len(added) >= room:
                     break
                 cuts = separate_cuts(
-                    base, res_c["x"], res_c["y"], int_tol, bnb.max_cuts_per_round
+                    base, res_c["x"], res_c["y"], int_tol,
+                    bnb.max_cuts_per_round,
+                    incumbent=best_obj, obj_is_integral=obj_is_integral,
                 )
                 added += fresh_cuts(cuts, room - len(added))
             if added:

@@ -151,19 +151,79 @@ def row_triple_zero_half(
     return cuts
 
 
+def objective_cover_cuts(
+    model: BaseModel,
+    x: np.ndarray,
+    incumbent: float,
+    tol: float,
+    max_cuts: int = 8,
+) -> List[Cut]:
+    """Cover cuts from the objective budget (no reference counterpart).
+
+    With integral costs and incumbent U, every IMPROVING solution obeys
+    the knapsack c.x <= U-1; any column set C with sum(c_C) > U-1 yields
+    the cover inequality sum_C x_j <= |C|-1, encoded as the >=-row
+    -sum_C x_j >= 1-|C|.  Like the incumbent-driven column reductions,
+    these cuts are valid for solutions strictly better than U — exactly
+    the solutions the B&B searches for — and remain valid as U decreases.
+    Candidates come from the fractional LP point: prefixes of columns
+    sorted by x* (ties: cost) accumulate cost past the budget; the cut is
+    kept when x* violates it.  Targets the last-integer-unit plateaus
+    (scp48-class) where the LP bound sits ~1 unit under the optimum."""
+    if not np.isfinite(incumbent):
+        return []
+    budget = np.floor(incumbent) - 1.0
+    xs = np.clip(x[: model.ncols], 0.0, 1.0)
+    act = np.flatnonzero(model.active & (xs > tol))
+    if len(act) < 2:
+        return []
+    cuts: List[Cut] = []
+    for order in (
+        # largest x* first (cover needs x*_C ~ 1), expensive tie-break so
+        # the budget is exceeded with the fewest columns
+        act[np.lexsort((-model.costs[act], -np.round(xs[act], 6)))],
+        # largest cost contribution first
+        act[np.argsort(-(xs[act] * model.costs[act]), kind="stable")],
+    ):
+        csum = np.cumsum(model.costs[order])
+        k = int(np.searchsorted(csum, budget + 0.5)) + 1
+        if k < 2 or k > len(order):
+            continue
+        C = order[:k]
+        if float(model.costs[C].sum()) <= budget + tol:
+            continue
+        if float(xs[C].sum()) <= k - 1 + tol:
+            continue  # not violated by the LP point
+        cuts.append(
+            Cut(
+                indices=np.sort(C).astype(np.int32),
+                values=-np.ones(k),
+                rhs=float(1 - k),
+                kind="objective_cover",
+            )
+        )
+        if len(cuts) >= max_cuts:
+            break
+    return cuts
+
+
 def separate_cuts(
     model: BaseModel,
     x: np.ndarray,
     dual: np.ndarray,
     tol: float = 1e-6,
     max_cuts: int = 50,
+    incumbent: float = np.inf,
+    obj_is_integral: bool = False,
 ) -> List[Cut]:
     """Run all separators in reference order, capped at max_cuts per round
     (reference makeCutSeparators :220-226 + driver cap logic), plus the
-    zero-half triple separator."""
+    zero-half triple and objective-cover separators."""
     cuts = dual_aggregated_cg(model, x, dual, tol)
     if len(cuts) < max_cuts:
         cuts += row_pair_cg(model, x, dual, tol)
     if len(cuts) < max_cuts:
         cuts += row_triple_zero_half(model, x, dual, tol)
+    if len(cuts) < max_cuts and obj_is_integral:
+        cuts += objective_cover_cuts(model, x, incumbent, tol)
     return cuts[:max_cuts]

@@ -164,3 +164,24 @@ def test_bnb_random_instances_vs_scipy():
         r = branch_and_bound(m, SolverConfig(verbosity=0))
         assert r.status == MilpStatus.OPTIMAL, (trial, r)
         assert abs(r.objective - expected) < 1e-9, (trial, r.objective, expected)
+
+
+def test_objective_cover_cuts_valid_for_improving_covers():
+    """Objective-budget cover cuts must hold for every cover STRICTLY
+    better than the incumbent (they are conditional cuts, like the
+    incumbent-driven reductions)."""
+    import itertools
+    from sypha_tpu.milp.cuts import objective_cover_cuts
+
+    rng = np.random.RandomState(5)
+    base = BaseModel(parse_scp_text(TINY))
+    for U in (5.0, 7.0, 9.0, 12.0):
+        for _ in range(50):
+            x = rng.uniform(0, 1, size=base.ncols)
+            for cut in objective_cover_cuts(base, x, U, 1e-6):
+                assert cut.rhs <= 0 and np.all(cut.values == -1.0)
+                for bits in itertools.product([0, 1], repeat=base.ncols):
+                    xx = np.asarray(bits, dtype=np.float64)
+                    if base.is_cover(xx) and base.costs @ xx <= U - 1 + 1e-9:
+                        lhs = cut.values @ xx[cut.indices]
+                        assert lhs + 1e-9 >= cut.rhs, (U, bits, cut.indices)
