@@ -464,6 +464,19 @@ def branch_and_bound(
         best_obj = objective
         best_solution = (x_struct[:n_input] > 0.5).astype(np.float64)
         incumbent_source = source
+        # polish every new incumbent with 1-column-removal local search
+        # (heuristics.local_search_improve) — cheap host work that often
+        # shaves the last unit off repair-heuristic covers
+        from sypha_tpu.milp.heuristics import local_search_improve
+
+        x_ls, obj_ls = local_search_improve(base, best_solution)
+        if obj_ls < best_obj - px_tol and base.is_cover(x_ls):
+            log.info(
+                f"Local search improved incumbent {best_obj:.12g} -> {obj_ls:.12g}"
+            )
+            best_obj = obj_ls
+            best_solution = (x_ls > 0.5).astype(np.float64)
+            incumbent_source = source + "+local_search"
 
     # ---- phase 1: greedy incumbent ----
     log.info("BnB preprocessing: running greedy set cover heuristic")

@@ -140,6 +140,71 @@ def _repair_from_threshold(
     return out
 
 
+def local_search_improve(
+    model: BaseModel, x0: np.ndarray, tol: float = 1e-9, max_rounds: int = 4
+):
+    """1-column-removal local search on an incumbent cover (no reference
+    counterpart): for each selected column (most expensive first), drop it,
+    greedily re-cover the rows it uniquely covered with the cheapest
+    active columns, and keep the move if the total cost drops; finish each
+    round with redundancy elimination.  Pure host numpy over the COVERING
+    rows only (conditional cut rows must not constrain incumbents).
+    Returns (x, objective) — x0 itself if no improvement was found."""
+    A_all, rhs_all = model.rel_csr()
+    A = A_all[: model.nrows_cover]
+    rhs = rhs_all[: model.nrows_cover]
+    x = (np.asarray(x0[: model.ncols]) > 0.5).astype(np.float64)
+    if np.any(A @ x + tol < rhs):
+        return x0, float(model.costs @ (x0 > 0.5))
+    best_cost = float(model.costs @ x)
+
+    for _ in range(max_rounds):
+        improved = False
+        sel = np.flatnonzero(x > 0.5)
+        for j in sel[np.argsort(-model.costs[sel], kind="stable")]:
+            x_try = x.copy()
+            x_try[j] = 0.0
+            cov = A @ x_try
+            cost_try = best_cost - model.costs[j]
+            ok = True
+            for _ in range(model.ncols):
+                uncovered = cov + tol < rhs
+                if not uncovered.any():
+                    break
+                Au = A[uncovered]
+                gain = np.asarray(Au.sum(axis=0)).ravel()
+                cand = (gain > 0) & model.active & (x_try <= 0.5)
+                cand[j] = False
+                if not cand.any():
+                    ok = False
+                    break
+                score = np.where(
+                    cand, gain / np.maximum(1e-9, model.costs), -np.inf
+                )
+                k = int(np.argmax(score))
+                x_try[k] = 1.0
+                cost_try += model.costs[k]
+                if cost_try >= best_cost - tol:
+                    ok = False
+                    break
+                cov = A @ x_try
+            if ok and not np.any(A @ x_try + tol < rhs) and cost_try < best_cost - tol:
+                x, best_cost = x_try, cost_try
+                improved = True
+        # redundancy elimination, most expensive first
+        sel = np.flatnonzero(x > 0.5)
+        for j in sel[np.argsort(-model.costs[sel], kind="stable")]:
+            x[j] = 0.0
+            if np.any(A @ x + tol < rhs):
+                x[j] = 1.0
+            else:
+                best_cost -= model.costs[j]
+                improved = True
+        if not improved:
+            break
+    return x, best_cost
+
+
 _HEURISTICS = {
     "nearest_integer_fixing": nearest_integer_fixing,
     "dual_guided_cover_repair": dual_guided_cover_repair,

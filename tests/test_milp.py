@@ -185,3 +185,22 @@ def test_objective_cover_cuts_valid_for_improving_covers():
                     if base.is_cover(xx) and base.costs @ xx <= U - 1 + 1e-9:
                         lhs = cut.values @ xx[cut.indices]
                         assert lhs + 1e-9 >= cut.rhs, (U, bits, cut.indices)
+
+
+def test_local_search_improves_padded_cover():
+    """Local search must strictly improve an incumbent that wastes cost and
+    must never break feasibility."""
+    from sypha_tpu.milp.heuristics import local_search_improve
+
+    base = BaseModel(parse_scp_text(TINY))
+    # deliberately wasteful cover: all four columns (cost 14)
+    x0 = np.ones(base.ncols)
+    x, obj = local_search_improve(base, x0)
+    assert base.is_cover(x)
+    assert obj < base.costs.sum() - 1e-9
+    assert abs(obj - base.costs @ (x > 0.5)) < 1e-9
+    # already-optimal cover stays put
+    expected = scipy_milp_optimum(parse_scp_text(TINY))
+    x2, obj2 = local_search_improve(base, x)
+    assert base.is_cover(x2) and obj2 <= obj + 1e-9
+    assert obj2 >= expected - 1e-9  # never "improves" past the optimum
