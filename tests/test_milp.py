@@ -204,3 +204,27 @@ def test_local_search_improves_padded_cover():
     x2, obj2 = local_search_improve(base, x)
     assert base.is_cover(x2) and obj2 <= obj + 1e-9
     assert obj2 >= expected - 1e-9  # never "improves" past the optimum
+
+
+def test_solve_nodes_deadline_bounds_wall_time(data_dir):
+    """A nearly-expired deadline must stop a window solve after ~one
+    chunk, with surviving lanes reporting MAX_ITER (hard limits are hard;
+    VERDICT r1 item 2)."""
+    import time
+    from sypha_tpu.core.status import IpmStatus
+    from sypha_tpu.milp.bnb import _NodeLpSolver
+    from sypha_tpu.utils.logging import Logger
+
+    m = read_scp_file(str(data_dir / "scp41.txt"))
+    base = BaseModel(m)
+    cfg = SolverConfig(verbosity=0)
+    solver = _NodeLpSolver(base, cfg, Logger(verbosity=0))
+    opts = cfg.ipm.replace(newton_max_steps=48)
+    # warm up the executables so compile time does not blur the check
+    solver.solve_nodes([BranchNode()], opts, time.monotonic() + 3600)
+    t0 = time.monotonic()
+    res = solver.solve_nodes([BranchNode()], opts, time.monotonic() + 1e-3)[0]
+    dt = time.monotonic() - t0
+    # at most ~one wall-clock-target-sized dispatch past the deadline
+    assert res["status"] in (IpmStatus.MAX_ITER, IpmStatus.CONVERGED)
+    assert dt < 3 * cfg.bnb.iter_chunk_target_sec + 2.0, dt
