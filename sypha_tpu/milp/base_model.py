@@ -64,11 +64,6 @@ class BranchNode:
     parent_dual_bound_raw: float = -np.inf
     # optional warm-start iterate (padded x, y, s from the parent solve)
     warm: Optional[tuple] = None
-    # times this node was requeued because its LP ended unprunable AND
-    # unbranchable (e.g. stalled on an integral-but-not-better point) —
-    # after one full-accuracy rescue it counts as a numerical failure so
-    # optimality claims stay capped (see milp.bnb)
-    rescues: int = 0
 
     def child(self, var: int, value: int) -> Optional["BranchNode"]:
         """append_decision_if_consistent (src/sypha_solver_bnb.cpp:335-348)."""
