@@ -146,3 +146,34 @@ def test_bnb_mesh_scp41(data_dir):
     assert res.status == MilpStatus.OPTIMAL
     assert res.objective == 429.0
     assert abs(res.dual_bound - 429.0) < 1e-6
+
+
+def test_mesh_chunked_resume(data_dir):
+    """Chunked (iter_limit + resume) node solves must also work through
+    the mesh-sharded dispatch path."""
+    import time
+
+    import numpy as np
+
+    from sypha_tpu.config import SolverConfig
+    from sypha_tpu.core.status import IpmStatus
+    from sypha_tpu.milp.base_model import BaseModel, BranchNode
+    from sypha_tpu.milp.bnb import _NodeLpSolver
+    from sypha_tpu.utils.logging import Logger
+
+    m = read_scp_file(str(data_dir / "scp41.txt"))
+    base = BaseModel(m)
+    cfg = SolverConfig(verbosity=0)
+    cfg = cfg.replace(bnb=cfg.bnb.replace(iter_chunk=4))
+    solver = _NodeLpSolver(base, cfg, Logger(verbosity=0), mesh=make_mesh(8))
+    opts = cfg.ipm.replace(newton_max_steps=48)
+    nodes = [BranchNode().child(j, j % 2) for j in range(16)]
+    res = solver.solve_nodes(nodes, opts, time.monotonic() + 3600)
+    assert len(res) == 16
+    assert all(
+        r["status"] in (IpmStatus.CONVERGED, IpmStatus.GAP_STALLED) for r in res
+    )
+    # fixed-to-1 lanes must report the fixing in their restored solution
+    for j, r in enumerate(res):
+        if j % 2 == 1:
+            assert r["x"][j] > 0.99
