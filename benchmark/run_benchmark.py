@@ -26,6 +26,9 @@ FAMILIES = {
     "scpnrf": [f"scpnrf{i}" for i in range(1, 6)],
     "scpnrg": [f"scpnrg{i}" for i in range(1, 6)],
     "scpnrh": [f"scpnrh{i}" for i in range(1, 6)],
+    # unicost families (the reference commits no MILP results for these)
+    "scpclr": [f"scpclr{i}" for i in range(10, 14)],
+    "scpcyc": ["scpcyc06", "scpcyc07"],
 }
 
 DATA_DIR = os.environ.get("SYPHA_DATA_DIR", "/root/reference/data")
