@@ -24,7 +24,7 @@ column, stays strictly interior, and converges to x_j ~ 0 with s_j ~ c_j = 1.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
@@ -121,10 +121,11 @@ def make_shared_batch_sparse(
     Same padding conventions as pad_lp/make_shared_batch (pad columns cost
     1 and masked out; pad rows rhs 0 with row_pad regularisation), but the
     standard form [A0 | -I] is built straight into EllMatrix row/column
-    slots — the dense [m_pad, n_pad] matrix is never materialized.  The
-    solve rides the matrix-free Jacobi-CG strategy (batch.is_sparse forces
-    it), mirroring the reference's Krylov backend
-    (src/sypha_solver_krylov.cu) at ~nnz/(m*n) of the dense memory.
+    slots — a resident dense f64 [m_pad, n_pad] matrix never exists.
+    Every f64 product is matrix-free (EllMatrix.Av/ATu/sqAv, mirroring the
+    reference Krylov backend's two SpMVs, src/sypha_solver_krylov.cu:
+    305-329); under the default dense-factor strategy the f32 Gram
+    preconditioner is formed from a transient f32 scatter of the operator.
     """
     from sypha_tpu.io.standard_form import bucket_dims
     from sypha_tpu.ops.ell import ell_from_rows

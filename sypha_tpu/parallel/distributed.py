@@ -19,7 +19,7 @@ Single-process runs degrade to a no-op pool so the B&B driver can call
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ ICI via psum/pmin.  KKT solves never leave the chip.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
