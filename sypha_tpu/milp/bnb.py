@@ -444,6 +444,16 @@ def branch_and_bound(
     int_tol = bnb.integrality_tol
     mip_gap_tol = 2.0 * cfg.ipm.tol_gap
 
+    # absolute wall-clock deadline every device dispatch AND every bounded
+    # host phase (heuristics, local search) respects; chunked solves check
+    # it between iteration chunks — hard limits are hard
+    _hard0 = (
+        bnb.hard_time_limit_sec
+        if bnb.hard_time_limit_sec > 0
+        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
+    )
+    deadline = t_start + _hard0 if _hard0 > 0 else np.inf
+
     base = BaseModel(model)
     n_input = model.ncols
 
@@ -469,7 +479,12 @@ def branch_and_bound(
         # shaves the last unit off repair-heuristic covers
         from sypha_tpu.milp.heuristics import local_search_improve
 
-        x_ls, obj_ls = local_search_improve(base, best_solution)
+        ls_budget = min(2.0, max(0.0, deadline - time.monotonic()))
+        if ls_budget <= 0.05:
+            return
+        x_ls, obj_ls = local_search_improve(
+            base, best_solution, time_budget_sec=ls_budget
+        )
         if obj_ls < best_obj - px_tol and base.is_cover(x_ls):
             log.info(
                 f"Local search improved incumbent {best_obj:.12g} -> {obj_ls:.12g}"
@@ -513,14 +528,6 @@ def branch_and_bound(
 
     solver = _NodeLpSolver(base, cfg, log, mesh=mesh)
     root = BranchNode()
-    # absolute wall-clock deadline every device dispatch respects (chunked
-    # solves check it between iteration chunks — hard limits are hard)
-    _hard0 = (
-        bnb.hard_time_limit_sec
-        if bnb.hard_time_limit_sec > 0
-        else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
-    )
-    deadline = t_start + _hard0 if _hard0 > 0 else np.inf
     # B&B node LPs (mask-heavy lanes, warm starts, reduced models) are much
     # harder on the f32-preconditioned PCG than clean instance batches:
     # give them more PCG headroom than the throughput-tuned LP default

@@ -141,15 +141,24 @@ def _repair_from_threshold(
 
 
 def local_search_improve(
-    model: BaseModel, x0: np.ndarray, tol: float = 1e-9, max_rounds: int = 4
+    model: BaseModel,
+    x0: np.ndarray,
+    tol: float = 1e-9,
+    max_rounds: int = 4,
+    time_budget_sec: float = 2.0,
 ):
     """1-column-removal local search on an incumbent cover (no reference
     counterpart): for each selected column (most expensive first), drop it,
     greedily re-cover the rows it uniquely covered with the cheapest
     active columns, and keep the move if the total cost drops; finish each
     round with redundancy elimination.  Pure host numpy over the COVERING
-    rows only (conditional cut rows must not constrain incumbents).
-    Returns (x, objective) — x0 itself if no improvement was found."""
+    rows only (conditional cut rows must not constrain incumbents),
+    bounded by ``time_budget_sec`` of wall time (on 5000-column instances
+    an unbounded sweep once cost ~1 min per incumbent and blew the hard
+    time limit).  Returns (x, objective) — x0 itself if no improvement."""
+    import time as _time
+
+    t_end = _time.monotonic() + time_budget_sec
     A_all, rhs_all = model.rel_csr()
     A = A_all[: model.nrows_cover]
     rhs = rhs_all[: model.nrows_cover]
@@ -162,6 +171,8 @@ def local_search_improve(
         improved = False
         sel = np.flatnonzero(x > 0.5)
         for j in sel[np.argsort(-model.costs[sel], kind="stable")]:
+            if _time.monotonic() >= t_end:
+                return x, best_cost
             x_try = x.copy()
             x_try[j] = 0.0
             cov = A @ x_try
