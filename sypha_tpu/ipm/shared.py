@@ -162,6 +162,30 @@ def make_shared_batch_sparse(
     )
 
 
+def make_shared_batch_auto(
+    model,
+    n_lanes: int,
+    m_pad: Optional[int] = None,
+    n_pad: Optional[int] = None,
+    density_threshold: float = 0.05,
+) -> SharedLpBatch:
+    """Operator auto-selection by density (VERDICT r1 item 5 / the
+    reference's memory-driven path pick, src/sypha_solver.cpp:218-320):
+    measured on v5e (benchmark/results/ell_vs_dense.csv), the padded-ELL
+    gather products beat the dense GEMM below ~5% density (scpnrg ~3.5%:
+    sparse 1.35x faster, 16x less memory) and lose above it (scpnre ~10%:
+    dense 3.4x faster) — pick accordingly."""
+    from sypha_tpu.io.standard_form import pad_lp
+
+    nnz = sum(len(r) for r in model.rows) + model.nrows
+    density = nnz / float(model.nrows * (model.ncols + model.nrows))
+    if density <= density_threshold:
+        return make_shared_batch_sparse(model, n_lanes, m_pad, n_pad)
+    return make_shared_batch(
+        pad_lp(model, m_pad=m_pad, n_pad=n_pad), n_lanes
+    )
+
+
 def fix_columns(
     batch: SharedLpBatch,
     fix0: np.ndarray,

@@ -152,3 +152,14 @@ def test_sparse_golden_lp_large_families(family, data_dir):
         ), (n, status, gap)
         obj = float(np.einsum("bn,bn->b", np.asarray(sp.c), np.asarray(st.x))[0])
         assert abs(obj - GOLDEN_LP[n]) < ACCEPT_TOL, (n, obj)
+
+
+def test_auto_operator_selection(data_dir):
+    """Density-based auto-selection: dense operator for ~10%-dense scpnre,
+    sparse for low-density instances (measured crossover ~5% on v5e)."""
+    from sypha_tpu.ipm.shared import make_shared_batch_auto
+
+    dense_b = make_shared_batch_auto(read_scp_file(str(data_dir / "scpnre1.txt")), 1)
+    assert not dense_b.is_sparse
+    sparse_b = make_shared_batch_auto(read_scp_file(str(data_dir / "scpnrg1.txt")), 1)
+    assert sparse_b.is_sparse
