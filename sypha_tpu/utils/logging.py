@@ -35,11 +35,19 @@ class Logger:
         self.color = color and hasattr(self.stream, "isatty") and self.stream.isatty()
         self.t0 = time.monotonic()
         self.hard_time_limit_sec = hard_time_limit_sec
+        self._stop = False
+
+    def request_stop(self) -> None:
+        """Asynchronously request termination (the reference's atomic
+        stopRequested_ flag, settable from any thread / signal handler);
+        the B&B driver honors it between node windows and — via chunked
+        dispatches — between iteration chunks of a running solve."""
+        self._stop = True
 
     def is_stop_requested(self) -> bool:
-        """Watchdog: true once the hard wall-clock limit has elapsed
-        (reference SyphaLogger::isStopRequested)."""
-        return (
+        """Watchdog: true once the hard wall-clock limit has elapsed or a
+        stop was requested (reference SyphaLogger::isStopRequested)."""
+        return self._stop or (
             self.hard_time_limit_sec > 0
             and (time.monotonic() - self.t0) >= self.hard_time_limit_sec
         )

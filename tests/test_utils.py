@@ -40,3 +40,12 @@ def test_phase_timers():
     assert t.elapsed_ms["pre"] >= 10.0
     rep = t.report()
     assert "TIME PRE" in rep and "TIME SOLVER" in rep
+
+
+def test_request_stop_flag():
+    from sypha_tpu.utils.logging import Logger
+
+    log = Logger(verbosity=0)
+    assert not log.is_stop_requested()
+    log.request_stop()
+    assert log.is_stop_requested()
