@@ -40,6 +40,13 @@ def main():
         if fn.startswith("sypha_tpu_milp") and fn.endswith(".csv"):
             mine.update(load(os.path.join(args.results, fn)))
     ref = load(REF)
+    # the reference's nre/nrf MILP incumbents live in a separate compare
+    # CSV (sypha_obj column; ortools_ip_obj is SCIP@300s)
+    for name, row in load(
+        os.path.join(os.path.dirname(REF), "scpnre_nrf_compare.csv")
+    ).items():
+        ref.setdefault(name, {})["primal"] = row["sypha_obj"]
+        ref[name]["scip"] = row["ortools_ip_obj"]
 
     fams = {}
     for name, row in mine.items():
