@@ -140,6 +140,9 @@ def _repair_from_threshold(
     return out
 
 
+_ILS_SEED = 987654321
+
+
 def local_search_improve(
     model: BaseModel,
     x0: np.ndarray,
@@ -213,6 +216,53 @@ def local_search_improve(
                 improved = True
         if not improved:
             break
+
+    # iterated local search: spend any remaining budget on random
+    # 3-column perturbations + greedy repair, keeping improvements
+    # (classic ILS for SCP; helps most on the large unicost-ish families
+    # where the 1-removal neighborhood is too small).  The seed advances
+    # per call so repeated polishes of the same incumbent explore
+    # different perturbations.
+    global _ILS_SEED
+    _ILS_SEED = (_ILS_SEED * 1103515245 + 12345) % (2**31)
+    rng = np.random.RandomState(_ILS_SEED)
+    while _time.monotonic() < t_end:
+        sel = np.flatnonzero(x > 0.5)
+        if len(sel) <= 3:
+            break
+        x_try = x.copy()
+        x_try[rng.choice(sel, size=3, replace=False)] = 0.0
+        cov = A @ x_try
+        cost_try = float(model.costs @ x_try)
+        ok = True
+        for _ in range(model.ncols):
+            uncovered = cov + tol < rhs
+            if not uncovered.any():
+                break
+            Au = A[uncovered]
+            gain = np.asarray(Au.sum(axis=0)).ravel()
+            cand = (gain > 0) & model.active & (x_try <= 0.5)
+            if not cand.any():
+                ok = False
+                break
+            score = np.where(cand, gain / np.maximum(1e-9, model.costs), -np.inf)
+            k = int(np.argmax(score))
+            x_try[k] = 1.0
+            cost_try += model.costs[k]
+            if cost_try >= best_cost - tol:
+                ok = False
+                break
+            cov = A @ x_try
+        if ok and not np.any(A @ x_try + tol < rhs) and cost_try < best_cost - tol:
+            # redundancy-eliminate the improved cover
+            sel2 = np.flatnonzero(x_try > 0.5)
+            for j in sel2[np.argsort(-model.costs[sel2], kind="stable")]:
+                x_try[j] = 0.0
+                if np.any(A @ x_try + tol < rhs):
+                    x_try[j] = 1.0
+                else:
+                    cost_try -= model.costs[j]
+            x, best_cost = x_try, cost_try
     return x, best_cost
 
 
