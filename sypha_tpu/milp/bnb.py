@@ -986,16 +986,57 @@ def branch_and_bound(
                 # better than the incumbent exists; the search is over
                 log.info("Reduced-root LP infeasible: incumbent is optimal")
                 frontier.clear()
+                numerical_failures.clear()
                 return
             apply_root_floor(res)
             if not frontier and processed > 0:
                 return  # tree closed by the floor
             r2 = reduced_cost_fix(res)
             if r2 == 0:
-                return
+                break
             log.info(
                 f"Reduced-cost fixing: {r2} cols masked, {base.n_active} active"
             )
+        try_exact_closure()
+
+    def try_exact_closure() -> bool:
+        """When the improving-preserving reductions have shrunk the active
+        set to a small LP-optimal face, finish the search EXACTLY with a
+        host-side implicit enumeration (presolve.exact_small_cover): find
+        a cover at cost <= incumbent-1 or prove none exists among the
+        active columns.  Either outcome closes the last integer unit that
+        plateau searches otherwise grind on nondeterministically.  A
+        refutation is a GLOBAL optimality proof (the masked columns were
+        removed by improving-solution-preserving arguments), so it also
+        discharges recorded numerical failures.  Returns True when the
+        search was closed."""
+        nonlocal frontier
+        if not (obj_is_integral and np.isfinite(best_obj)):
+            return False
+        from sypha_tpu.milp.presolve import exact_small_cover
+
+        while base.n_active <= 256 and not time_up():
+            budget = best_obj - 1.0 + int_tol
+            verdict, x = exact_small_cover(base, budget, time_limit_sec=3.0)
+            if verdict is None:
+                return False  # inconclusive: keep the normal search going
+            if verdict is False:
+                log.info(
+                    f"Exact face enumeration: no cover <= {budget:.6g} among "
+                    f"{base.n_active} active columns — incumbent is optimal"
+                )
+                frontier.clear()
+                numerical_failures.clear()
+                return True
+            obj = float(base.costs @ (x > 0.5))
+            log.info(f"Exact face enumeration found a cover: {obj:.12g}")
+            adopt(x, "exact_face_enumeration", obj)
+            prune_frontier()
+            reduce_by_incumbent()
+        return False
+
+    # presolve alone may already have shrunk the model onto a small face
+    try_exact_closure()
 
     while processed < bnb.max_nodes:
         now = time.monotonic()

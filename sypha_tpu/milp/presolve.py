@@ -367,3 +367,109 @@ def apply_presolve_rules(
             continue
         removed += rule(model, tol, dl)
     return removed
+
+
+def exact_small_cover(
+    model: BaseModel,
+    budget: float,
+    time_limit_sec: float = 3.0,
+    max_cols: int = 256,
+):
+    """Implicit enumeration over the ACTIVE columns: find a cover with cost
+    <= budget, or prove that none exists (no reference counterpart; host
+    bitset DFS in the style of the presolve rules).
+
+    The B&B driver calls this once reduced-cost fixing has shrunk the
+    active set to the LP-optimal face at cutoff incumbent-1: on that face
+    "is there an improving integer cover?" is a tiny exact problem, and
+    answering it deterministically closes the last integer unit that
+    plateau searches otherwise grind on (scp44/scp49-class flakiness).
+
+    Returns (verdict, solution): verdict True = found (solution is a 0/1
+    structural vector with cost <= budget); False = PROVEN none exists
+    among active columns; None = inconclusive (timeout / too large).
+    """
+    import time as _time
+
+    act = np.flatnonzero(model.active)
+    if len(act) == 0:
+        return False, None
+    if len(act) > max_cols:
+        return None, None
+    t_end = _time.monotonic() + time_limit_sec
+    nwords = model._nwords
+    full = np.zeros(nwords, dtype=np.uint64)
+    for r in range(model.nrows_cover):
+        full[r >> 6] |= np.uint64(1) << np.uint64(r & 63)
+
+    masks = model.col_masks[act]
+    costs = model.costs[act]
+    order = np.argsort(costs, kind="stable")
+    masks, costs, act = masks[order], costs[order], act[order]
+    k = len(act)
+
+    # per-row candidate lists (indices into the sorted arrays, cost asc)
+    by_row = [[] for _ in range(model.nrows_cover)]
+    for i in range(k):
+        for r in model.rows_by_col[act[i]]:
+            by_row[r].append(i)
+    # rows no active column covers => infeasible outright
+    for r in range(model.nrows_cover):
+        if not by_row[r]:
+            return False, None
+    # cheapest cover cost per row (simple admissible bound)
+    row_min = np.array([costs[b[0]] for b in by_row])
+
+    best = None
+    chosen: list = []
+    calls = 0
+
+    def first_uncovered(cov):
+        for w in range(nwords):
+            miss = full[w] & ~cov[w]
+            if miss:
+                return (w << 6) + int(miss & (~miss + np.uint64(1))).bit_length() - 1
+        return -1
+
+    def dfs(cov, cost):
+        nonlocal best, calls
+        calls += 1
+        if calls % 2048 == 0 and _time.monotonic() > t_end:
+            raise TimeoutError
+        r = first_uncovered(cov)
+        if r < 0:
+            best = list(chosen)
+            return True
+        # admissible lower bound: the uncovered row with the costliest
+        # cheapest-cover still needs paying for
+        lb = 0.0
+        for w in range(nwords):
+            miss = full[w] & ~cov[w]
+            while miss:
+                bit = miss & (~miss + np.uint64(1))
+                rr = (w << 6) + int(bit).bit_length() - 1
+                if row_min[rr] > lb:
+                    lb = row_min[rr]
+                miss &= ~bit
+        if cost + lb > budget + 1e-9:
+            return False
+        for i in by_row[r]:
+            if cost + costs[i] > budget + 1e-9:
+                break  # sorted by cost: nothing cheaper follows
+            chosen.append(i)
+            if dfs(cov | masks[i], cost + costs[i]):
+                return True
+            chosen.pop()
+        return False
+
+    try:
+        found = dfs(np.zeros(nwords, dtype=np.uint64), 0.0)
+    except TimeoutError:
+        return None, None
+    except RecursionError:
+        return None, None
+    if not found:
+        return False, None
+    x = np.zeros(model.ncols)
+    x[act[best]] = 1.0
+    return True, x

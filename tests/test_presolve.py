@@ -134,3 +134,45 @@ def test_presolve_none_is_noop():
     base = BaseModel(parse_scp_text(TINY))
     assert apply_presolve_rules(base, "none") == 0
     assert base.n_active == 4
+
+
+def test_exact_small_cover_vs_bruteforce():
+    """Implicit enumeration must agree with brute force on find/refute for
+    many budgets and random instances."""
+    import itertools
+    import numpy as np
+
+    from sypha_tpu.core.problem import ScpModel
+    from sypha_tpu.milp.base_model import BaseModel
+    from sypha_tpu.milp.presolve import exact_small_cover
+
+    rng = np.random.default_rng(9)
+    for trial in range(10):
+        nrows, ncols = 7, 12
+        rows = []
+        for i in range(nrows):
+            k = int(rng.integers(2, 5))
+            rows.append(np.sort(rng.choice(ncols, size=k, replace=False)).astype(np.int32))
+        m = ScpModel(nrows=nrows, ncols=ncols,
+                     costs=rng.integers(1, 9, ncols).astype(np.float64),
+                     rows=rows, name=f"r{trial}")
+        base = BaseModel(m)
+        # brute-force best cover cost
+        best = np.inf
+        for bits in itertools.product([0, 1], repeat=ncols):
+            xx = np.asarray(bits, dtype=np.float64)
+            if base.is_cover(xx):
+                best = min(best, float(base.costs @ xx))
+        for budget in (best - 1, best, best + 3):
+            verdict, x = exact_small_cover(base, budget)
+            if budget < best:
+                assert verdict is False, (trial, budget, best)
+            else:
+                assert verdict is True, (trial, budget, best)
+                assert base.is_cover(x)
+                assert base.costs @ (x > 0.5) <= budget + 1e-9
+        # with half the columns masked the verdict must respect the mask
+        base.active[: ncols // 2] = False
+        verdict, x = exact_small_cover(base, best + 5)
+        if verdict is True:
+            assert not np.any(x[: ncols // 2] > 0.5)
