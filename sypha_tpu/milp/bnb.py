@@ -1015,7 +1015,7 @@ def branch_and_bound(
             return False
         from sypha_tpu.milp.presolve import exact_small_cover
 
-        while base.n_active <= 256 and not time_up():
+        while base.n_active <= 384 and not time_up():
             budget = best_obj - 1.0 + int_tol
             verdict, x = exact_small_cover(base, budget, time_limit_sec=3.0)
             if verdict is None:

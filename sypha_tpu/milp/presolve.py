@@ -373,7 +373,7 @@ def exact_small_cover(
     model: BaseModel,
     budget: float,
     time_limit_sec: float = 3.0,
-    max_cols: int = 256,
+    max_cols: int = 384,
 ):
     """Implicit enumeration over the ACTIVE columns: find a cover with cost
     <= budget, or prove that none exists (no reference counterpart; host
@@ -417,9 +417,21 @@ def exact_small_cover(
     for r in range(model.nrows_cover):
         if not by_row[r]:
             return False, None
-    # cheapest cover cost per row (simple admissible bound)
+    # admissible per-row weights for the lower bound: spreading each
+    # column's cost uniformly over its rows, any cover of the uncovered
+    # set U pays at least sum_{r in U} min_j cost_j/|rows_j| — the
+    # fractional-weight bound; also keep the max-of-min-cover-cost bound
+    # and take the larger of the two per node
     row_min = np.array([costs[b[0]] for b in by_row])
-
+    spread = np.array(
+        [
+            min(
+                costs[i] / max(1, len(model.rows_by_col[act[i]]))
+                for i in b
+            )
+            for b in by_row
+        ]
+    )
     best = None
     chosen: list = []
     calls = 0
@@ -431,6 +443,20 @@ def exact_small_cover(
                 return (w << 6) + int(miss & (~miss + np.uint64(1))).bit_length() - 1
         return -1
 
+    def lower_bound(cov):
+        lb_spread = 0.0
+        lb_max = 0.0
+        for w in range(nwords):
+            miss = int(full[w] & ~cov[w])
+            while miss:
+                low = miss & -miss
+                rr = (w << 6) + low.bit_length() - 1
+                lb_spread += spread[rr]
+                if row_min[rr] > lb_max:
+                    lb_max = row_min[rr]
+                miss ^= low
+        return max(lb_spread, lb_max)
+
     def dfs(cov, cost):
         nonlocal best, calls
         calls += 1
@@ -440,18 +466,7 @@ def exact_small_cover(
         if r < 0:
             best = list(chosen)
             return True
-        # admissible lower bound: the uncovered row with the costliest
-        # cheapest-cover still needs paying for
-        lb = 0.0
-        for w in range(nwords):
-            miss = full[w] & ~cov[w]
-            while miss:
-                bit = miss & (~miss + np.uint64(1))
-                rr = (w << 6) + int(bit).bit_length() - 1
-                if row_min[rr] > lb:
-                    lb = row_min[rr]
-                miss &= ~bit
-        if cost + lb > budget + 1e-9:
+        if cost + lower_bound(cov) > budget + 1e-9:
             return False
         for i in by_row[r]:
             if cost + costs[i] > budget + 1e-9:
