@@ -688,6 +688,14 @@ def branch_and_bound(
             _hard > 0 and (time.monotonic() - t_start) >= _hard
         ) or log.is_stop_requested()
 
+    def host_budget(cap: float) -> float:
+        """Clamp a host-phase time budget (presolve rules, exact closure,
+        local search) to the wall time actually remaining, so late-run
+        host work cannot push past the hard limit."""
+        if not np.isfinite(deadline):
+            return cap
+        return max(0.05, min(cap, deadline - time.monotonic()))
+
     root_cuts = 0
     cut_sigs = set()
 
@@ -957,7 +965,7 @@ def branch_and_bound(
         nonlocal frontier
         r = reduce_by_incumbent()
         r += incumbent_budget_pruning(
-            base, best_obj, px_tol, cfg.preprocess_time_limit_sec
+            base, best_obj, px_tol, host_budget(cfg.preprocess_time_limit_sec)
         )
         if seed_res is not None:
             r += reduced_cost_fix(seed_res)
@@ -1017,7 +1025,9 @@ def branch_and_bound(
 
         while base.n_active <= 384 and not time_up():
             budget = best_obj - 1.0 + int_tol
-            verdict, x = exact_small_cover(base, budget, time_limit_sec=3.0)
+            verdict, x = exact_small_cover(
+                base, budget, time_limit_sec=host_budget(3.0)
+            )
             if verdict is None:
                 return False  # inconclusive: keep the normal search going
             if verdict is False:
