@@ -786,6 +786,7 @@ def branch_and_bound(
     # (reference behavior) but their bounds cap the final claim — we never
     # report OPTIMAL over an unexplored feasible subtree
     numerical_failures: List[BranchNode] = []
+    _closure_inconclusive = None  # (n_active, best_obj) of a timed-out closure
 
     # ---- checkpoint resume ----
     ckpt = _load_checkpoint(bnb.checkpoint_path, log) if bnb.checkpoint_path else None
@@ -1018,18 +1019,23 @@ def branch_and_bound(
         removed by improving-solution-preserving arguments), so it also
         discharges recorded numerical failures.  Returns True when the
         search was closed."""
-        nonlocal frontier
+        nonlocal frontier, _closure_inconclusive
         if not (obj_is_integral and np.isfinite(best_obj)):
             return False
         from sypha_tpu.milp.presolve import exact_small_cover
 
         while base.n_active <= 384 and not time_up():
             budget = best_obj - 1.0 + int_tol
+            if _closure_inconclusive == (base.n_active, best_obj):
+                return False  # same subproblem already timed out once
             verdict, x = exact_small_cover(
                 base, budget, time_limit_sec=host_budget(3.0)
             )
             if verdict is None:
-                return False  # inconclusive: keep the normal search going
+                # inconclusive: remember so identical retries don't burn
+                # 3 s per mid-B&B refresh on hard unicost faces
+                _closure_inconclusive = (base.n_active, best_obj)
+                return False
             if verdict is False:
                 log.info(
                     f"Exact face enumeration: no cover <= {budget:.6g} among "
@@ -1131,7 +1137,13 @@ def branch_and_bound(
         )
         tree_cut_cands = []
 
-        for node, res in zip(batch, results):
+        for node_i, (node, res) in enumerate(zip(batch, results)):
+            if node_i > 0 and time_up():
+                # the hard limit fired mid-window (host phases per node can
+                # be expensive); re-queue the unprocessed nodes with their
+                # parent bounds intact and stop
+                frontier.extend(batch[node_i:])
+                break
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
                 if node_coverable(node):
                     # the node LP is actually feasible: the failure is
