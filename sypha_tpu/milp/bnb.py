@@ -1006,9 +1006,9 @@ def branch_and_bound(
             log.info(
                 f"Reduced-cost fixing: {r2} cols masked, {base.n_active} active"
             )
-        try_exact_closure()
+        try_exact_closure(seed_x=res["x"] if res is not None else None)
 
-    def try_exact_closure() -> bool:
+    def try_exact_closure(seed_x=None) -> bool:
         """When the improving-preserving reductions have shrunk the active
         set to a small LP-optimal face, finish the search EXACTLY with a
         host-side implicit enumeration (presolve.exact_small_cover): find
@@ -1022,18 +1022,34 @@ def branch_and_bound(
         nonlocal frontier, _closure_inconclusive
         if not (obj_is_integral and np.isfinite(best_obj)):
             return False
-        from sypha_tpu.milp.presolve import exact_small_cover
+        from sypha_tpu.milp.presolve import exact_small_cover, sample_cover
 
         while base.n_active <= 384 and not time_up():
             budget = best_obj - 1.0 + int_tol
+            # FIND side: LP-guided randomized rounding on the face (cheap
+            # and reliable where the exponential enumeration times out);
+            # the REFUTE side is the LP's job — once the incumbent hits
+            # the floored reduced-root bound, the driver's gap check
+            # proves optimality
+            if seed_x is not None:
+                found = sample_cover(
+                    base, seed_x, budget, time_limit_sec=host_budget(2.0)
+                )
+                if found is not None:
+                    obj_f = float(base.costs @ (found > 0.5))
+                    log.info(f"Face sampling found a cover: {obj_f:.12g}")
+                    adopt(found, "face_sampling", obj_f)
+                    prune_frontier()
+                    reduce_by_incumbent()
+                    continue
             if _closure_inconclusive == (base.n_active, best_obj):
                 return False  # same subproblem already timed out once
             verdict, x = exact_small_cover(
-                base, budget, time_limit_sec=host_budget(3.0)
+                base, budget, time_limit_sec=host_budget(8.0)
             )
             if verdict is None:
                 # inconclusive: remember so identical retries don't burn
-                # 3 s per mid-B&B refresh on hard unicost faces
+                # the budget again per mid-B&B refresh on hard faces
                 _closure_inconclusive = (base.n_active, best_obj)
                 return False
             if verdict is False:

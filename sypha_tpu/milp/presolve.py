@@ -436,16 +436,16 @@ def exact_small_cover(
     chosen: list = []
     calls = 0
 
-    def first_uncovered(cov):
-        for w in range(nwords):
-            miss = full[w] & ~cov[w]
-            if miss:
-                return (w << 6) + int(miss & (~miss + np.uint64(1))).bit_length() - 1
-        return -1
+    n_cands = np.array([len(b) for b in by_row])
 
-    def lower_bound(cov):
+    def scan(cov):
+        """One pass over the uncovered rows: (branch row = the row with
+        the fewest candidate columns — most-constrained-first slashes the
+        tree vs first-bit order — , admissible lower bound)."""
         lb_spread = 0.0
         lb_max = 0.0
+        r_pick = -1
+        pick_c = 1 << 30
         for w in range(nwords):
             miss = int(full[w] & ~cov[w])
             while miss:
@@ -454,19 +454,22 @@ def exact_small_cover(
                 lb_spread += spread[rr]
                 if row_min[rr] > lb_max:
                     lb_max = row_min[rr]
+                if n_cands[rr] < pick_c:
+                    pick_c = n_cands[rr]
+                    r_pick = rr
                 miss ^= low
-        return max(lb_spread, lb_max)
+        return r_pick, max(lb_spread, lb_max)
 
     def dfs(cov, cost):
         nonlocal best, calls
         calls += 1
         if calls % 2048 == 0 and _time.monotonic() > t_end:
             raise TimeoutError
-        r = first_uncovered(cov)
+        r, lb = scan(cov)
         if r < 0:
             best = list(chosen)
             return True
-        if cost + lower_bound(cov) > budget + 1e-9:
+        if cost + lb > budget + 1e-9:
             return False
         for i in by_row[r]:
             if cost + costs[i] > budget + 1e-9:
@@ -488,3 +491,73 @@ def exact_small_cover(
     x = np.zeros(model.ncols)
     x[act[best]] = 1.0
     return True, x
+
+
+def sample_cover(
+    model: BaseModel,
+    x_star: np.ndarray,
+    budget: float,
+    tries: int = 400,
+    seed: int = 20240817,
+    time_limit_sec: float = 2.0,
+):
+    """LP-guided randomized rounding: sample covers with P(pick j) ~
+    x*_j, greedily repair, redundancy-eliminate, return the first one
+    with cost <= budget (None if none found).  The workhorse for FINDING
+    an integer point on the LP-optimal face once reduced-cost fixing has
+    shrunk the model onto it — the refute side is the LP bound's job
+    (reduced-root floor > budget), so find+LP together close the last
+    integer unit without an exponential enumeration."""
+    import time as _time
+
+    t_end = _time.monotonic() + time_limit_sec
+    act = np.flatnonzero(model.active)
+    if len(act) == 0:
+        return None
+    A, rhs_all = model.rel_csr()
+    A = A[: model.nrows_cover][:, act]
+    rhs = rhs_all[: model.nrows_cover]
+    costs = model.costs[act]
+    xs = np.clip(np.asarray(x_star)[act], 0.0, 1.0)
+    rng = np.random.RandomState(seed)
+
+    for t in range(tries):
+        if _time.monotonic() > t_end:
+            return None
+        # anneal the sampling sharpness across tries
+        p = np.clip(xs ** (0.5 + 1.5 * (t % 4)), 0.0, 1.0)
+        pick = rng.random_sample(len(act)) < p
+        x = pick.astype(np.float64)
+        cov = A @ x
+        cost = float(costs @ x)
+        ok = True
+        for _ in range(len(act)):
+            uncovered = cov + 1e-9 < rhs
+            if not uncovered.any():
+                break
+            Au = A[uncovered]
+            gain = np.asarray(Au.sum(axis=0)).ravel()
+            cand = (gain > 0) & (x <= 0.5)
+            if not cand.any():
+                ok = False
+                break
+            score = np.where(cand, gain / np.maximum(1e-9, costs), -np.inf)
+            k = int(np.argmax(score))
+            x[k] = 1.0
+            cost += costs[k]
+            cov = A @ x
+        if not ok or np.any(A @ x + 1e-9 < rhs):
+            continue
+        # redundancy elimination, most expensive first
+        sel = np.flatnonzero(x > 0.5)
+        for j in sel[np.argsort(-costs[sel], kind="stable")]:
+            x[j] = 0.0
+            if np.any(A @ x + 1e-9 < rhs):
+                x[j] = 1.0
+            else:
+                cost -= costs[j]
+        if cost <= budget + 1e-9:
+            out = np.zeros(model.ncols)
+            out[act[x > 0.5]] = 1.0
+            return out
+    return None
