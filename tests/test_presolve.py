@@ -176,3 +176,26 @@ def test_exact_small_cover_vs_bruteforce():
         verdict, x = exact_small_cover(base, best + 5)
         if verdict is True:
             assert not np.any(x[: ncols // 2] > 0.5)
+
+
+def test_sample_cover_finds_budgeted_cover():
+    """The LP-guided sampler must find an optimal-cost cover given the
+    LP solution of a small instance, and respect the budget."""
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from sypha_tpu import parse_scp_text
+    from sypha_tpu.milp.base_model import BaseModel
+    from sypha_tpu.milp.presolve import sample_cover
+
+    TINY = "3 4\n2 3 4 5\n2 1 2\n2 2 3\n3 1 3 4\n"
+    base = BaseModel(parse_scp_text(TINY))
+    A, rhs = base.rel_csr()
+    res = linprog(base.costs, A_ub=-A.toarray(), b_ub=-rhs, bounds=(0, 1), method="highs")
+    # known optimum is 5 (cols 0+2: costs 2+3)
+    found = sample_cover(base, res.x, budget=5.0)
+    assert found is not None
+    assert base.is_cover(found)
+    assert base.costs @ (found > 0.5) <= 5.0
+    # impossible budget must fail
+    assert sample_cover(base, res.x, budget=3.0, tries=50) is None
