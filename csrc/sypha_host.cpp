@@ -473,3 +473,145 @@ int sypha_budget_pruning(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Exact small-cover enumeration (counterpart of presolve.exact_small_cover;
+// the FIND/REFUTE engine behind the B&B driver's exact face closure).
+// Returns 1 = found (out_sel gets the 0/1 structural solution),
+//         0 = proven: no cover with cost <= budget among active columns,
+//        -1 = inconclusive (deadline).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ExactCoverCtx {
+    const uint64_t* full;
+    int64_t nwords;
+    const double* costs;       // sorted-active order
+    const uint64_t* masks;     // sorted-active order, row bitmasks
+    const std::vector<std::vector<int32_t>>* by_row;
+    const double* spread;
+    const double* row_min;
+    const int32_t* n_cands;
+    double budget;
+    std::chrono::steady_clock::time_point deadline;
+    int64_t calls = 0;
+    std::vector<int32_t> chosen;
+    bool timed_out = false;
+};
+
+bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost) {
+    if ((++ctx.calls & 4095) == 0 &&
+        std::chrono::steady_clock::now() >= ctx.deadline) {
+        ctx.timed_out = true;
+        return false;
+    }
+    // one pass: lower bound + most-constrained uncovered row
+    double lb_spread = 0.0, lb_max = 0.0;
+    int32_t r_pick = -1;
+    int32_t pick_c = INT32_MAX;
+    for (int64_t w = 0; w < ctx.nwords; ++w) {
+        uint64_t miss = ctx.full[w] & ~cov[static_cast<size_t>(w)];
+        while (miss) {
+            const int bit = __builtin_ctzll(miss);
+            const int32_t rr = static_cast<int32_t>((w << 6) + bit);
+            lb_spread += ctx.spread[rr];
+            if (ctx.row_min[rr] > lb_max) lb_max = ctx.row_min[rr];
+            if (ctx.n_cands[rr] < pick_c) { pick_c = ctx.n_cands[rr]; r_pick = rr; }
+            miss &= miss - 1;
+        }
+    }
+    if (r_pick < 0) return true;  // covered
+    const double lb = lb_spread > lb_max ? lb_spread : lb_max;
+    if (cost + lb > ctx.budget + 1e-9) return false;
+    for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r_pick)]) {
+        if (cost + ctx.costs[i] > ctx.budget + 1e-9) break;  // cost-sorted
+        std::vector<uint64_t> cov2(cov);
+        for (int64_t w = 0; w < ctx.nwords; ++w)
+            cov2[static_cast<size_t>(w)] |=
+                ctx.masks[static_cast<size_t>(i) * ctx.nwords + w];
+        ctx.chosen.push_back(i);
+        if (exact_cover_dfs(ctx, cov2, cost + ctx.costs[i])) return true;
+        ctx.chosen.pop_back();
+        if (ctx.timed_out) return false;
+    }
+    return false;
+}
+
+}  // namespace
+
+extern "C" int sypha_exact_cover(
+    const uint64_t* col_masks, int64_t nwords,
+    const double* costs, const uint8_t* active, int64_t ncols,
+    const int64_t* col_ptr, const int32_t* col_idx, int64_t nrows,
+    double budget, double deadline_sec, uint8_t* out_sel) {
+    std::vector<int32_t> act;
+    for (int64_t j = 0; j < ncols; ++j)
+        if (active[j]) act.push_back(static_cast<int32_t>(j));
+    if (act.empty()) return 0;
+    std::sort(act.begin(), act.end(), [&](int32_t a, int32_t b) {
+        if (costs[a] != costs[b]) return costs[a] < costs[b];
+        return a < b;
+    });
+    const size_t k = act.size();
+    std::vector<double> c(k);
+    std::vector<uint64_t> m(k * static_cast<size_t>(nwords));
+    for (size_t i = 0; i < k; ++i) {
+        c[i] = costs[act[i]];
+        for (int64_t w = 0; w < nwords; ++w)
+            m[i * static_cast<size_t>(nwords) + static_cast<size_t>(w)] =
+                col_masks[static_cast<size_t>(act[i]) * static_cast<size_t>(nwords) +
+                          static_cast<size_t>(w)];
+    }
+    std::vector<std::vector<int32_t>> by_row(static_cast<size_t>(nrows));
+    for (size_t i = 0; i < k; ++i) {
+        const int32_t j = act[i];
+        for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p)
+            by_row[static_cast<size_t>(col_idx[p])].push_back(
+                static_cast<int32_t>(i));
+    }
+    std::vector<double> spread(static_cast<size_t>(nrows));
+    std::vector<double> row_min(static_cast<size_t>(nrows));
+    std::vector<int32_t> n_cands(static_cast<size_t>(nrows));
+    for (int64_t r = 0; r < nrows; ++r) {
+        if (by_row[static_cast<size_t>(r)].empty()) return 0;  // uncoverable
+        double sp = 1e300, mn = 1e300;
+        for (int32_t i : by_row[static_cast<size_t>(r)]) {
+            const int32_t j = act[static_cast<size_t>(i)];
+            const int64_t deg = col_ptr[j + 1] - col_ptr[j];
+            const double s = c[static_cast<size_t>(i)] /
+                             static_cast<double>(deg > 0 ? deg : 1);
+            if (s < sp) sp = s;
+            if (c[static_cast<size_t>(i)] < mn) mn = c[static_cast<size_t>(i)];
+        }
+        spread[static_cast<size_t>(r)] = sp;
+        row_min[static_cast<size_t>(r)] = mn;
+        n_cands[static_cast<size_t>(r)] =
+            static_cast<int32_t>(by_row[static_cast<size_t>(r)].size());
+    }
+    std::vector<uint64_t> full(static_cast<size_t>(nwords), 0);
+    for (int64_t r = 0; r < nrows; ++r)
+        full[static_cast<size_t>(r >> 6)] |= (1ULL << (r & 63));
+
+    ExactCoverCtx ctx;
+    ctx.full = full.data();
+    ctx.nwords = nwords;
+    ctx.costs = c.data();
+    ctx.masks = m.data();
+    ctx.by_row = &by_row;
+    ctx.spread = spread.data();
+    ctx.row_min = row_min.data();
+    ctx.n_cands = n_cands.data();
+    ctx.budget = budget;
+    ctx.deadline = std::chrono::steady_clock::now() +
+                   std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+                       std::chrono::duration<double>(deadline_sec));
+    std::vector<uint64_t> cov(static_cast<size_t>(nwords), 0);
+    const bool found = exact_cover_dfs(ctx, cov, 0.0);
+    if (found) {
+        std::fill(out_sel, out_sel + ncols, 0);
+        for (int32_t i : ctx.chosen) out_sel[act[static_cast<size_t>(i)]] = 1;
+        return 1;
+    }
+    return ctx.timed_out ? -1 : 0;
+}

@@ -388,8 +388,21 @@ def exact_small_cover(
     Returns (verdict, solution): verdict True = found (solution is a 0/1
     structural vector with cost <= budget); False = PROVEN none exists
     among active columns; None = inconclusive (timeout / too large).
+
+    The native engine (csrc sypha_exact_cover, ~100x the Python DFS)
+    handles the real faces; the Python implementation below is the
+    documented fallback and the oracle the tests exercise both against.
     """
     import time as _time
+
+    from sypha_tpu import native
+
+    nat = native.exact_cover(model, budget, time_limit_sec)
+    if nat is not None:
+        # the native engine ran: trust its verdict, including an
+        # inconclusive (None, None) timeout — re-running the much slower
+        # Python DFS would just burn the budget again
+        return nat
 
     act = np.flatnonzero(model.active)
     if len(act) == 0:

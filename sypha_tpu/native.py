@@ -93,6 +93,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i64p, i32p, ctypes.c_int,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
     ]
+    lib.sypha_exact_cover.restype = ctypes.c_int
+    lib.sypha_exact_cover.argtypes = [
+        u64p, ctypes.c_int64, f64p, u8p, ctypes.c_int64,
+        i64p, i32p, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, u8p,
+    ]
     return lib
 
 
@@ -247,3 +253,28 @@ def greedy_set_cover(model):
     if nsel < 0:
         return (np.inf, np.zeros(0, dtype=np.int64))
     return (float(obj.value), selected[:nsel].astype(np.int64))
+
+
+def exact_cover(model, budget: float, deadline_sec: float):
+    """Native implicit enumeration (sypha_exact_cover): find a cover with
+    cost <= budget among active columns or prove none exists.
+
+    Returns (True, x) / (False, None) / None when the library is absent or
+    the deadline fired (caller falls back / treats as inconclusive)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ar = _arrays(model)
+    active = np.ascontiguousarray(model.active.astype(np.uint8))
+    out = np.zeros(model.ncols, dtype=np.uint8)
+    rc = lib.sypha_exact_cover(
+        ar.masks, ctypes.c_int64(ar.nwords), ar.costs, active,
+        ctypes.c_int64(ar.ncols), ar.col_ptr, ar.col_idx,
+        ctypes.c_int64(ar.nrows),
+        float(budget), float(deadline_sec), out,
+    )
+    if rc == 1:
+        return True, out.astype(np.float64)
+    if rc == 0:
+        return False, None
+    return (None, None)  # ran but inconclusive (deadline)

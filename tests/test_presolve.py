@@ -164,13 +164,23 @@ def test_exact_small_cover_vs_bruteforce():
             if base.is_cover(xx):
                 best = min(best, float(base.costs @ xx))
         for budget in (best - 1, best, best + 3):
-            verdict, x = exact_small_cover(base, budget)
-            if budget < best:
-                assert verdict is False, (trial, budget, best)
-            else:
-                assert verdict is True, (trial, budget, best)
-                assert base.is_cover(x)
-                assert base.costs @ (x > 0.5) <= budget + 1e-9
+            for use_native in (True, False):
+                if not use_native:
+                    # exercise the Python fallback DFS as well
+                    import sypha_tpu.native as native
+                    orig = native.exact_cover
+                    native.exact_cover = lambda *a, **k: None
+                try:
+                    verdict, x = exact_small_cover(base, budget)
+                finally:
+                    if not use_native:
+                        native.exact_cover = orig
+                if budget < best:
+                    assert verdict is False, (trial, budget, best, use_native)
+                else:
+                    assert verdict is True, (trial, budget, best, use_native)
+                    assert base.is_cover(x)
+                    assert base.costs @ (x > 0.5) <= budget + 1e-9
         # with half the columns masked the verdict must respect the mask
         base.active[: ncols // 2] = False
         verdict, x = exact_small_cover(base, best + 5)
