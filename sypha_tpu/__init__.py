@@ -57,8 +57,11 @@ from sypha_tpu.ipm.driver import solve_lp, solve_lp_batch  # noqa: E402
 from sypha_tpu.ipm.shared import (  # noqa: E402
     SharedLpBatch,
     make_shared_batch,
+    make_shared_batch_auto,
+    make_shared_batch_sparse,
     mehrotra_solve_shared,
 )
+from sypha_tpu.ops.ell import EllMatrix  # noqa: E402
 from sypha_tpu.api import Solver, SolverParameters, ResultStatus  # noqa: E402
 from sypha_tpu.milp.bnb import MilpResult, branch_and_bound  # noqa: E402
 
@@ -71,7 +74,10 @@ __all__ = [
     "MilpResult",
     "branch_and_bound",
     "SharedLpBatch",
+    "EllMatrix",
     "make_shared_batch",
+    "make_shared_batch_auto",
+    "make_shared_batch_sparse",
     "mehrotra_solve_shared",
     "SolverConfig",
     "IpmOptions",
