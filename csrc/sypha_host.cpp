@@ -493,7 +493,15 @@ struct ExactCoverCtx {
     const double* spread;
     const double* row_min;
     const int32_t* n_cands;
+    // LP-dual (Lagrangian) bound data: dualw[r] = max(0,y_r) + neg_rc is an
+    // admissible per-uncovered-row weight (see sypha_exact_cover), rc[i] the
+    // clamp-adjusted reduced cost of sorted-active column i.  Any completion
+    // of a partial cover with uncovered set U reachable in the remaining
+    // subtree costs >= sum_{r in U} dualw[r] on top of the partial cost.
+    const double* dualw;
+    const double* rc;
     double budget;
+    double dual_eps;           // scale-aware slack for the dual-bound prunes
     std::chrono::steady_clock::time_point deadline;
     int64_t calls = 0;
     std::vector<int32_t> chosen;
@@ -506,8 +514,8 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         ctx.timed_out = true;
         return false;
     }
-    // one pass: lower bound + most-constrained uncovered row
-    double lb_spread = 0.0, lb_max = 0.0;
+    // one pass: lower bounds + most-constrained uncovered row
+    double lb_spread = 0.0, lb_max = 0.0, lb_dual = 0.0;
     int32_t r_pick = -1;
     int32_t pick_c = INT32_MAX;
     for (int64_t w = 0; w < ctx.nwords; ++w) {
@@ -516,16 +524,22 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             const int bit = __builtin_ctzll(miss);
             const int32_t rr = static_cast<int32_t>((w << 6) + bit);
             lb_spread += ctx.spread[rr];
+            lb_dual += ctx.dualw[rr];
             if (ctx.row_min[rr] > lb_max) lb_max = ctx.row_min[rr];
             if (ctx.n_cands[rr] < pick_c) { pick_c = ctx.n_cands[rr]; r_pick = rr; }
             miss &= miss - 1;
         }
     }
     if (r_pick < 0) return true;  // covered
-    const double lb = lb_spread > lb_max ? lb_spread : lb_max;
+    double lb = lb_spread > lb_max ? lb_spread : lb_max;
+    if (lb_dual - ctx.dual_eps > lb) lb = lb_dual - ctx.dual_eps;
     if (cost + lb > ctx.budget + 1e-9) return false;
     for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r_pick)]) {
         if (cost + ctx.costs[i] > ctx.budget + 1e-9) break;  // cost-sorted
+        // picking i leaves uncovered U' with dual weight >= lb_dual -
+        // (y-coverage of i) and the completion pays rc_i on top, so the
+        // child bound is >= cost + lb_dual + rc_i: skip without recursing
+        if (cost + lb_dual + ctx.rc[i] > ctx.budget + ctx.dual_eps) continue;
         std::vector<uint64_t> cov2(cov);
         for (int64_t w = 0; w < ctx.nwords; ++w)
             cov2[static_cast<size_t>(w)] |=
@@ -544,7 +558,8 @@ extern "C" int sypha_exact_cover(
     const uint64_t* col_masks, int64_t nwords,
     const double* costs, const uint8_t* active, int64_t ncols,
     const int64_t* col_ptr, const int32_t* col_idx, int64_t nrows,
-    double budget, double deadline_sec, uint8_t* out_sel) {
+    double budget, double deadline_sec, const double* row_dual,
+    uint8_t* out_sel) {
     std::vector<int32_t> act;
     for (int64_t j = 0; j < ncols; ++j)
         if (active[j]) act.push_back(static_cast<int32_t>(j));
@@ -593,6 +608,37 @@ extern "C" int sypha_exact_cover(
     for (int64_t r = 0; r < nrows; ++r)
         full[static_cast<size_t>(r >> 6)] |= (1ULL << (r & 63));
 
+    // LP-dual (Lagrangian) bound.  With y_r = max(0, row_dual[r]) and
+    // rc_i = c_i - sum_{r in rows(i)} y_r, any cover x extending a partial
+    // cover S whose every added column covers >= 1 then-uncovered row (true
+    // of all DFS completions) satisfies
+    //   c(x) - c(S) >= sum_{r in U} (y_r + neg_rc),  neg_rc = min(0, min rc)
+    // because |x\S| <= |U| and each y_r of U is paid at least once.  This is
+    // the depth-cumulative form of reduced-cost fixing: every chosen column
+    // with positive reduced cost eats the duality gap, which is what makes
+    // plateau faces (budget = LP bound + ~1 integer unit) refutable.  The
+    // reference has no counterpart (its enumeration is the B&B itself); the
+    // bound is the CFT-style Lagrangian bound specialised to fixed duals.
+    std::vector<double> rcv(k, 0.0), dualw(static_cast<size_t>(nrows), 0.0);
+    double neg_rc = 0.0;
+    if (row_dual != nullptr) {
+        std::vector<double> y(static_cast<size_t>(nrows), 0.0);
+        for (int64_t r = 0; r < nrows; ++r) {
+            const double v = row_dual[r];
+            y[static_cast<size_t>(r)] = (v > 0.0 && v < 1e300) ? v : 0.0;
+        }
+        for (size_t i = 0; i < k; ++i) {
+            const int32_t j = act[i];
+            double ys = 0.0;
+            for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p)
+                ys += y[static_cast<size_t>(col_idx[p])];
+            rcv[i] = c[i] - ys;
+            if (rcv[i] < neg_rc) neg_rc = rcv[i];
+        }
+        for (int64_t r = 0; r < nrows; ++r)
+            dualw[static_cast<size_t>(r)] = y[static_cast<size_t>(r)] + neg_rc;
+    }
+
     ExactCoverCtx ctx;
     ctx.full = full.data();
     ctx.nwords = nwords;
@@ -602,7 +648,10 @@ extern "C" int sypha_exact_cover(
     ctx.spread = spread.data();
     ctx.row_min = row_min.data();
     ctx.n_cands = n_cands.data();
+    ctx.dualw = dualw.data();
+    ctx.rc = rcv.data();
     ctx.budget = budget;
+    ctx.dual_eps = 1e-7 * (budget > 1.0 ? budget : 1.0);
     ctx.deadline = std::chrono::steady_clock::now() +
                    std::chrono::duration_cast<std::chrono::steady_clock::duration>(
                        std::chrono::duration<double>(deadline_sec));

@@ -1006,9 +1006,12 @@ def branch_and_bound(
             log.info(
                 f"Reduced-cost fixing: {r2} cols masked, {base.n_active} active"
             )
-        try_exact_closure(seed_x=res["x"] if res is not None else None)
+        try_exact_closure(
+            seed_x=res["x"] if res is not None else None,
+            seed_y=res["y"] if res is not None else None,
+        )
 
-    def try_exact_closure(seed_x=None) -> bool:
+    def try_exact_closure(seed_x=None, seed_y=None) -> bool:
         """When the improving-preserving reductions have shrunk the active
         set to a small LP-optimal face, finish the search EXACTLY with a
         host-side implicit enumeration (presolve.exact_small_cover): find
@@ -1024,7 +1027,11 @@ def branch_and_bound(
             return False
         from sypha_tpu.milp.presolve import exact_small_cover, sample_cover
 
-        while base.n_active <= 384 and not time_up():
+        # with near-optimal coverage-row duals the native engine's
+        # Lagrangian bound refutes plateau faces at many hundreds of
+        # columns; without duals only the weak spread bounds apply
+        reach = 1024 if seed_y is not None else 384
+        while base.n_active <= reach and not time_up():
             budget = best_obj - 1.0 + int_tol
             # FIND side: LP-guided randomized rounding on the face (cheap
             # and reliable where the exponential enumeration times out);
@@ -1042,14 +1049,21 @@ def branch_and_bound(
                     prune_frontier()
                     reduce_by_incumbent()
                     continue
-            if _closure_inconclusive == (base.n_active, best_obj):
-                return False  # same subproblem already timed out once
+            if _closure_inconclusive is not None and seed_y is not None:
+                # a dual-armed attempt already timed out: retry only after
+                # real progress (face 10% smaller or a better incumbent),
+                # so hopeless faces don't burn 8 s per mid-B&B refresh
+                n_prev, obj_prev = _closure_inconclusive
+                if base.n_active > 0.9 * n_prev and best_obj >= obj_prev:
+                    return False
             verdict, x = exact_small_cover(
-                base, budget, time_limit_sec=host_budget(8.0)
+                base, budget, time_limit_sec=host_budget(8.0), duals=seed_y
             )
             if verdict is None:
-                # inconclusive: remember so identical retries don't burn
-                # the budget again per mid-B&B refresh on hard faces
+                log.debug(
+                    f"Exact face enumeration inconclusive at "
+                    f"{base.n_active} active cols, budget {budget:.6g}"
+                )
                 _closure_inconclusive = (base.n_active, best_obj)
                 return False
             if verdict is False:
@@ -1067,8 +1081,12 @@ def branch_and_bound(
             reduce_by_incumbent()
         return False
 
-    # presolve alone may already have shrunk the model onto a small face
-    try_exact_closure()
+    # Root closure attempt: iterate reduced-cost fixing to a fixpoint and
+    # hand the root duals to the exact face enumeration — the Lagrangian
+    # bound refutes budget incumbent-1 directly on scp4x/5x-class models
+    # (scp48: 4 s on the FULL 1000-column model), often closing the search
+    # before any branching.
+    refresh_root_bound()
 
     while processed < bnb.max_nodes:
         now = time.monotonic()

@@ -374,6 +374,7 @@ def exact_small_cover(
     budget: float,
     time_limit_sec: float = 3.0,
     max_cols: int = 384,
+    duals=None,
 ):
     """Implicit enumeration over the ACTIVE columns: find a cover with cost
     <= budget, or prove that none exists (no reference counterpart; host
@@ -397,7 +398,7 @@ def exact_small_cover(
 
     from sypha_tpu import native
 
-    nat = native.exact_cover(model, budget, time_limit_sec)
+    nat = native.exact_cover(model, budget, time_limit_sec, duals=duals)
     if nat is not None:
         # the native engine ran: trust its verdict, including an
         # inconclusive (None, None) timeout — re-running the much slower
@@ -451,12 +452,34 @@ def exact_small_cover(
 
     n_cands = np.array([len(b) for b in by_row])
 
+    # LP-dual (Lagrangian) bound — mirror of the native engine's: with
+    # y >= 0 per covering row and rc_i = c_i - sum_{rows(i)} y_r, any DFS
+    # completion of a partial cover with uncovered set U pays at least
+    # sum_{r in U} (y_r + neg_rc) on top (|added| <= |U|, each y_r of U
+    # paid at least once).  Zero duals degrade to the bound-free case.
+    if duals is not None:
+        y_d = np.nan_to_num(
+            np.asarray(duals, dtype=np.float64)[: model.nrows_cover],
+            nan=0.0, posinf=0.0, neginf=0.0,
+        ).clip(min=0.0)
+        if len(y_d) < model.nrows_cover:
+            y_d = np.concatenate([y_d, np.zeros(model.nrows_cover - len(y_d))])
+    else:
+        y_d = np.zeros(model.nrows_cover)
+    rc_d = np.array(
+        [costs[i] - y_d[model.rows_by_col[act[i]]].sum() for i in range(k)]
+    )
+    neg_rc = min(0.0, rc_d.min()) if k else 0.0
+    dualw = y_d + neg_rc
+    dual_eps = 1e-7 * max(1.0, abs(budget))
+
     def scan(cov):
         """One pass over the uncovered rows: (branch row = the row with
         the fewest candidate columns — most-constrained-first slashes the
         tree vs first-bit order — , admissible lower bound)."""
         lb_spread = 0.0
         lb_max = 0.0
+        lb_dual = 0.0
         r_pick = -1
         pick_c = 1 << 30
         for w in range(nwords):
@@ -465,20 +488,21 @@ def exact_small_cover(
                 low = miss & -miss
                 rr = (w << 6) + low.bit_length() - 1
                 lb_spread += spread[rr]
+                lb_dual += dualw[rr]
                 if row_min[rr] > lb_max:
                     lb_max = row_min[rr]
                 if n_cands[rr] < pick_c:
                     pick_c = n_cands[rr]
                     r_pick = rr
                 miss ^= low
-        return r_pick, max(lb_spread, lb_max)
+        return r_pick, max(lb_spread, lb_max, lb_dual - dual_eps), lb_dual
 
     def dfs(cov, cost):
         nonlocal best, calls
         calls += 1
         if calls % 2048 == 0 and _time.monotonic() > t_end:
             raise TimeoutError
-        r, lb = scan(cov)
+        r, lb, lb_dual = scan(cov)
         if r < 0:
             best = list(chosen)
             return True
@@ -487,6 +511,9 @@ def exact_small_cover(
         for i in by_row[r]:
             if cost + costs[i] > budget + 1e-9:
                 break  # sorted by cost: nothing cheaper follows
+            # child bound >= cost + lb_dual + rc_i: skip without recursing
+            if cost + lb_dual + rc_d[i] > budget + dual_eps:
+                continue
             chosen.append(i)
             if dfs(cov | masks[i], cost + costs[i]):
                 return True

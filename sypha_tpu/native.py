@@ -97,7 +97,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.sypha_exact_cover.argtypes = [
         u64p, ctypes.c_int64, f64p, u8p, ctypes.c_int64,
         i64p, i32p, ctypes.c_int64,
-        ctypes.c_double, ctypes.c_double, u8p,
+        ctypes.c_double, ctypes.c_double, f64p, u8p,
     ]
     return lib
 
@@ -255,9 +255,12 @@ def greedy_set_cover(model):
     return (float(obj.value), selected[:nsel].astype(np.int64))
 
 
-def exact_cover(model, budget: float, deadline_sec: float):
+def exact_cover(model, budget: float, deadline_sec: float, duals=None):
     """Native implicit enumeration (sypha_exact_cover): find a cover with
-    cost <= budget among active columns or prove none exists.
+    cost <= budget among active columns or prove none exists.  ``duals``
+    (optional, per covering row) arms the LP-dual Lagrangian bound — any
+    y >= 0 is admissible; near-optimal LP duals make plateau faces
+    refutable at hundreds of columns.
 
     Returns (True, x) / (False, None) / None when the library is absent or
     the deadline fired (caller falls back / treats as inconclusive)."""
@@ -267,11 +270,20 @@ def exact_cover(model, budget: float, deadline_sec: float):
     ar = _arrays(model)
     active = np.ascontiguousarray(model.active.astype(np.uint8))
     out = np.zeros(model.ncols, dtype=np.uint8)
+    if duals is None:
+        y = np.zeros(ar.nrows, dtype=np.float64)
+    else:
+        y = np.ascontiguousarray(
+            np.nan_to_num(np.asarray(duals, dtype=np.float64)[: ar.nrows],
+                          nan=0.0, posinf=0.0, neginf=0.0)
+        )
+        if len(y) < ar.nrows:
+            y = np.concatenate([y, np.zeros(ar.nrows - len(y))])
     rc = lib.sypha_exact_cover(
         ar.masks, ctypes.c_int64(ar.nwords), ar.costs, active,
         ctypes.c_int64(ar.ncols), ar.col_ptr, ar.col_idx,
         ctypes.c_int64(ar.nrows),
-        float(budget), float(deadline_sec), out,
+        float(budget), float(deadline_sec), y, out,
     )
     if rc == 1:
         return True, out.astype(np.float64)

@@ -188,6 +188,65 @@ def test_exact_small_cover_vs_bruteforce():
             assert not np.any(x[: ncols // 2] > 0.5)
 
 
+def test_exact_small_cover_dual_bound_admissible():
+    """The LP-dual (Lagrangian) bound must never change a verdict: for
+    LP-optimal duals, random y >= 0, garbage (negative / NaN / inf) duals,
+    and wrong-length vectors, find/refute must still agree with brute
+    force on both the native engine and the Python fallback."""
+    import itertools
+    import numpy as np
+    from scipy.optimize import linprog
+
+    from sypha_tpu.core.problem import ScpModel
+    from sypha_tpu.milp.base_model import BaseModel
+    from sypha_tpu.milp.presolve import exact_small_cover
+
+    rng = np.random.default_rng(31)
+    for trial in range(6):
+        nrows, ncols = 7, 12
+        rows = []
+        for i in range(nrows):
+            k = int(rng.integers(2, 5))
+            rows.append(
+                np.sort(rng.choice(ncols, size=k, replace=False)).astype(np.int32)
+            )
+        m = ScpModel(nrows=nrows, ncols=ncols,
+                     costs=rng.integers(1, 9, ncols).astype(np.float64),
+                     rows=rows, name=f"d{trial}")
+        base = BaseModel(m)
+        best = np.inf
+        for bits in itertools.product([0, 1], repeat=ncols):
+            xx = np.asarray(bits, dtype=np.float64)
+            if base.is_cover(xx):
+                best = min(best, float(base.costs @ xx))
+        A, rhs = base.rel_csr()
+        lp = linprog(base.costs, A_ub=-A.toarray(), b_ub=-rhs,
+                     bounds=(0, 1), method="highs")
+        y_lp = np.abs(np.asarray(lp.ineqlin.marginals))
+        garbage = np.array(
+            [np.nan, np.inf, -np.inf, -3.0, 1e305, 0.0, 2.5][:nrows]
+        )
+        dual_cases = [y_lp, rng.uniform(0, 4, nrows), garbage, y_lp[:3]]
+        for duals in dual_cases:
+            for budget in (best - 1, best, best + 3):
+                for use_native in (True, False):
+                    if not use_native:
+                        import sypha_tpu.native as native
+                        orig = native.exact_cover
+                        native.exact_cover = lambda *a, **k: None
+                    try:
+                        verdict, x = exact_small_cover(base, budget, duals=duals)
+                    finally:
+                        if not use_native:
+                            native.exact_cover = orig
+                    if budget < best:
+                        assert verdict is False, (trial, budget, best, use_native)
+                    else:
+                        assert verdict is True, (trial, budget, best, use_native)
+                        assert base.is_cover(x)
+                        assert base.costs @ (x > 0.5) <= budget + 1e-9
+
+
 def test_sample_cover_finds_budgeted_cover():
     """The LP-guided sampler must find an optimal-cost cover given the
     LP solution of a small instance, and respect the budget."""
