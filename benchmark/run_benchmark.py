@@ -96,6 +96,7 @@ def main():
             t_pre = time.monotonic() - t0
 
             t1 = time.monotonic()
+            t_compile = 0.0
             if args.lp_only:
                 res = solve_lp(pad_lp(model), IpmOptions())
                 t_solver = time.monotonic() - t1
@@ -120,6 +121,7 @@ def main():
                 )
                 r = branch_and_bound(model, cfg)
                 t_solver = time.monotonic() - t1
+                t_compile = r.compile_time_sec
                 status = {
                     MilpStatus.OPTIMAL: "OPTIMAL",
                     MilpStatus.FEASIBLE: "FEASIBLE",
@@ -137,18 +139,24 @@ def main():
                     status=status,
                 )
             row["time_pre_s"] = f"{t_pre:.2f}"
-            row["time_solver_s"] = f"{t_solver:.2f}"
+            # time_solver_s is NET of one-time XLA compiles: the solver
+            # extends its hard deadline by exactly its precompile seconds
+            # (reference C++ is AOT-compiled; its budget never pays
+            # compilation), reported separately in time_compile_s
+            row["time_solver_s"] = f"{t_solver - t_compile:.2f}"
+            row["time_compile_s"] = f"{t_compile:.2f}"
             row["time_total_s"] = f"{time.monotonic() - t0:.2f}"
             rows.append(row)
             print(
                 f"{name}: {row['status']} primal={row['primal']} "
-                f"dual={row['dual']} total={row['time_total_s']}s"
+                f"dual={row['dual']} solver={row['time_solver_s']}s "
+                f"compile={row['time_compile_s']}s total={row['time_total_s']}s"
             )
 
     fields = [
         "instance", "num_sets", "num_elements", "primal", "dual",
         "mip_gap_pct", "iterations", "time_pre_s", "time_solver_s",
-        "time_total_s", "incumbent", "status",
+        "time_compile_s", "time_total_s", "incumbent", "status",
     ]
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)

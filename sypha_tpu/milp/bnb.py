@@ -68,6 +68,12 @@ class MilpResult:
     wall_time_sec: float = 0.0
     root_cuts: int = 0
     tree_cuts: int = 0
+    # one-time XLA precompile seconds EXCLUDED from the hard time budget
+    # (the reference's C++ is AOT-compiled so its budget never pays
+    # compilation; ours extends the deadline by exactly this much).
+    # wall_time_sec is already net of it; callers timing the whole call
+    # externally should subtract it before comparing against the limit.
+    compile_time_sec: float = 0.0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -535,6 +541,7 @@ def branch_and_bound(
         newton_max_steps=max(cfg.ipm.newton_max_steps, 48)
     )
 
+    compile_total = 0.0
     if bnb.precompile:
         # compile every (opts, window-rung) executable BEFORE the clock
         # starts: the reference's C++ is AOT-compiled, so its hard time
@@ -556,6 +563,7 @@ def branch_and_bound(
             )
         t_start += compile_s
         deadline += compile_s
+        compile_total = compile_s
 
     def solve_single(node: BranchNode):
         return solver.solve_nodes([node], ipm_opts, deadline)[0]
@@ -1205,6 +1213,7 @@ def branch_and_bound(
                         nodes_processed=processed,
                         total_lp_iterations=total_lp_iters,
                         wall_time_sec=time.monotonic() - t_start,
+                        compile_time_sec=compile_total,
                     )
                 continue
 
@@ -1493,6 +1502,7 @@ def branch_and_bound(
             wall_time_sec=wall,
             root_cuts=root_cuts,
             tree_cuts=tree_cuts,
+            compile_time_sec=compile_total,
         )
 
     log.info("No integer incumbent found within node limit")
@@ -1515,6 +1525,7 @@ def branch_and_bound(
                 wall_time_sec=time.monotonic() - t_start,
                 root_cuts=root_cuts,
                 tree_cuts=tree_cuts,
+                compile_time_sec=compile_total,
             )
     return MilpResult(
         status=MilpStatus.NOT_SOLVED,
@@ -1527,4 +1538,5 @@ def branch_and_bound(
         wall_time_sec=wall,
         root_cuts=root_cuts,
         tree_cuts=tree_cuts,
+        compile_time_sec=compile_total,
     )
