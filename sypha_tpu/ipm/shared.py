@@ -453,8 +453,9 @@ def mehrotra_solve_shared(
         tiny_mu = mu < opts.mu_tol_hard
         converged = feasible & ((gap < opts.tol_gap) | tiny_mu)
         # mu -> 0 with a stubborn primal residual = infeasible lane (a node
-        # whose fixings make the cover impossible); see ipm.dense.
-        infeasible = tiny_mu & (res_p > 1e3 * opts.tol_feas)
+        # whose fixings make the cover impossible); see ipm.dense for the
+        # 1e-3 floor rationale (CG endgame noise vs true-infeasible ~0.07).
+        infeasible = tiny_mu & (res_p > jnp.maximum(1e3 * opts.tol_feas, 1e-3))
         diverged = ~jnp.isfinite(mu) | (mu > opts.mu_max) | infeasible
         hit_max = st.iterations >= iter_limit
 

@@ -161,6 +161,58 @@ def ell_from_rows(
     )
 
 
+def ell_column_slabs(ell: EllMatrix, k: int, lane_multiple: int = 8) -> EllMatrix:
+    """Split an EllMatrix into ``k`` column slabs for tensor parallelism.
+
+    Returns one EllMatrix whose components carry a LEADING shard axis of
+    size ``k`` (shard j owns global columns [j*n_pad/k, (j+1)*n_pad/k)):
+
+    - col_idx/col_val [k, n_pad/k, Kc]: the column orientation splits
+      trivially (its stored ROW indices are global, and rows are
+      replicated under column sharding) — a pure reshape.
+    - row_idx/row_val [k, m_pad, Kr']: the row orientation must be REBUILT
+      per shard with SHARD-LOCAL column indices (global - j*n_pad/k), so
+      each chip's ``Av`` gathers from its local x-slab; partial row-space
+      products then psum over the mesh (ipm.shared._reducers).  Kr' is the
+      max per-shard row width, common across shards so the stack is
+      rectangular.
+
+    Host-side (numpy) construction; feed through shard_map with
+    ``P(TP_AXIS)`` on the leading axis of all four components
+    (parallel.mesh.solve_shared_batch_tensor_parallel does)."""
+    n_pad = ell.n_pad
+    if n_pad % k:
+        raise ValueError(f"n_pad {n_pad} not divisible into {k} slabs")
+    nl = n_pad // k
+    row_idx = np.asarray(ell.row_idx)
+    row_val = np.asarray(ell.row_val)
+    m_pad = row_idx.shape[0]
+    shard_of = row_idx // nl
+    valid = row_val != 0
+    kr = 1
+    for j in range(k):
+        cnt = ((shard_of == j) & valid).sum(axis=1)
+        kr = max(kr, int(cnt.max()) if cnt.size else 0)
+    kr = _round_up(kr, lane_multiple)
+    new_ri = np.zeros((k, m_pad, kr), dtype=np.int32)
+    new_rv = np.zeros((k, m_pad, kr), dtype=row_val.dtype)
+    for j in range(k):
+        sel = (shard_of == j) & valid
+        for i in range(m_pad):
+            s = sel[i]
+            c = int(s.sum())
+            if c:
+                new_ri[j, i, :c] = row_idx[i, s] - j * nl
+                new_rv[j, i, :c] = row_val[i, s]
+    kc = np.asarray(ell.col_idx).shape[1]
+    return EllMatrix(
+        row_idx=jnp.asarray(new_ri),
+        row_val=jnp.asarray(new_rv),
+        col_idx=jnp.asarray(np.asarray(ell.col_idx).reshape(k, nl, kc)),
+        col_val=jnp.asarray(np.asarray(ell.col_val).reshape(k, nl, kc)),
+    )
+
+
 def ell_from_dense(A: np.ndarray, m_pad=None, n_pad=None, lane_multiple: int = 8) -> EllMatrix:
     """Convert a (host) dense matrix to EllMatrix (tests / small inputs)."""
     A = np.asarray(A)

@@ -209,7 +209,11 @@ def solve_shared_batch_tensor_parallel(
     whose columns outgrow one chip's HBM (SURVEY §5 long-context analogue);
     lane sharding (solve_shared_batch_sharded) remains the throughput mode.
 
-    ``batch.n_pad`` must divide evenly by the mesh size.
+    ``batch.n_pad`` must divide evenly by the mesh size.  Works for both
+    the dense A (column slabs of the array) and the padded-ELL operator
+    (ops.ell.ell_column_slabs: per-shard row-ELL with SHARD-LOCAL column
+    indices; partial row-space products psum over the mesh) — sparse
+    storage AND column scale-out compose.
     """
     from sypha_tpu.ipm.shared import SharedLpBatch, mehrotra_solve_shared
 
@@ -218,6 +222,45 @@ def solve_shared_batch_tensor_parallel(
     k = mesh.devices.size
     if batch.n_pad % k:
         raise ValueError(f"n_pad {batch.n_pad} not divisible by {k} chips")
+
+    if batch.is_sparse:
+        from sypha_tpu.ops.ell import EllMatrix, ell_column_slabs
+
+        slabs = ell_column_slabs(batch.A, k)
+
+        def per_chip_sparse(ri, rv, ci, cv, row_pad, b, c, mask, off):
+            # shard_map hands each chip its [1, ...] block of the leading
+            # shard axis; drop it to recover the local EllMatrix slab
+            local = SharedLpBatch(
+                A=EllMatrix(
+                    row_idx=ri[0], row_val=rv[0],
+                    col_idx=ci[0], col_val=cv[0],
+                ),
+                b=b, c=c, col_mask=mask, row_pad=row_pad, obj_offset=off,
+            )
+            return mehrotra_solve_shared(local, opts, axis_name=TP_AXIS)
+
+        fn = shard_map(
+            per_chip_sparse,
+            mesh=mesh,
+            in_specs=(
+                P(TP_AXIS),        # row-ELL indices (shard-local columns)
+                P(TP_AXIS),        # row-ELL values
+                P(TP_AXIS),        # col-ELL indices (global rows)
+                P(TP_AXIS),        # col-ELL values
+                P(),               # row_pad replicated
+                P(),               # b replicated
+                P(None, TP_AXIS),  # c
+                P(None, TP_AXIS),  # col_mask
+                P(),               # obj_offset replicated
+            ),
+            out_specs=IpmState_tp_spec(),
+            check_vma=False,
+        )
+        return jax.jit(fn)(
+            slabs.row_idx, slabs.row_val, slabs.col_idx, slabs.col_val,
+            batch.row_pad, batch.b, batch.c, batch.col_mask, batch.obj_offset,
+        )
 
     def per_chip(A, row_pad, b, c, mask, off):
         local = SharedLpBatch(

@@ -163,3 +163,43 @@ def test_auto_operator_selection(data_dir):
     assert not dense_b.is_sparse
     sparse_b = make_shared_batch_auto(read_scp_file(str(data_dir / "scpnrg1.txt")), 1)
     assert sparse_b.is_sparse
+
+
+def test_ell_column_slabs_products():
+    """k-way column slabs must reproduce the full operator: stacked-local
+    Av partial products sum to the full Av; per-slab ATu equals the
+    corresponding slice of the full ATu (shard-local row-ELL indices)."""
+    from sypha_tpu.ops.ell import ell_column_slabs
+
+    rng = np.random.RandomState(7)
+    A = rng.rand(24, 40)
+    A[A < 0.6] = 0.0
+    ell = ell_from_dense(A, m_pad=32, n_pad=128)
+    Ap = np.zeros((32, 128))
+    Ap[:24, :40] = A
+    k = 8
+    slabs = ell_column_slabs(ell, k)
+    nl = 128 // k
+    v = rng.rand(3, 128)
+    u = rng.rand(3, 32)
+    Av_sum = np.zeros((3, 32))
+    for j in range(k):
+        slab = EllMatrix(
+            row_idx=slabs.row_idx[j], row_val=slabs.row_val[j],
+            col_idx=slabs.col_idx[j], col_val=slabs.col_val[j],
+        )
+        vloc = jnp.asarray(v[:, j * nl:(j + 1) * nl])
+        Av_sum += np.asarray(slab.Av(vloc))
+        np.testing.assert_allclose(
+            np.asarray(slab.ATu(jnp.asarray(u))),
+            u @ Ap[:, j * nl:(j + 1) * nl], atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(slab.sqAv(vloc)),
+            v[:, j * nl:(j + 1) * nl] @ (Ap[:, j * nl:(j + 1) * nl] ** 2).T,
+            atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(slab.todense()), Ap[:, j * nl:(j + 1) * nl], atol=1e-15
+        )
+    np.testing.assert_allclose(Av_sum, v @ Ap.T, atol=1e-12)
