@@ -37,6 +37,18 @@ DATA_DIR = os.environ.get("SYPHA_DATA_DIR", "/root/reference/data")
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default="scp4,scp5")
+    ap.add_argument(
+        "--instances",
+        default="",
+        help="comma-separated instance names (e.g. scp48,scp49) to restrict "
+        "the sweep to; rows for other instances are untouched if --merge",
+    )
+    ap.add_argument(
+        "--merge",
+        action="store_true",
+        help="merge the new rows into an existing output CSV instead of "
+        "overwriting it (keyed by instance name)",
+    )
     ap.add_argument("--lp-only", action="store_true")
     ap.add_argument("--time-limit", type=float, default=120.0)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "results"))
@@ -68,6 +80,9 @@ def main():
             for n in FAMILIES.get(fam.strip(), [])
             if os.path.exists(os.path.join(DATA_DIR, f"{n}.txt"))
         ]
+        keep = {s.strip() for s in args.instances.split(",") if s.strip()}
+        if keep:
+            fam_names = [n for n in fam_names if n in keep]
         if fam_names and not args.no_warmup:
             # warmup: run the family's first instance once, untimed, so
             # every executable shape (node-window rungs, chunked/resume
@@ -158,6 +173,12 @@ def main():
         "mip_gap_pct", "iterations", "time_pre_s", "time_solver_s",
         "time_compile_s", "time_total_s", "incumbent", "status",
     ]
+    if args.merge and os.path.exists(out_csv):
+        with open(out_csv, newline="") as f:
+            old = list(csv.DictReader(f))
+        new_by_name = {r["instance"]: r for r in rows}
+        merged = [new_by_name.pop(r["instance"], r) for r in old]
+        rows = merged + list(new_by_name.values())
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()

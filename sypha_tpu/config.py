@@ -191,6 +191,14 @@ class BnbOptions:
     # rows are always original covering+cut rows.
     tree_cut_nodes_per_round: int = 2
     tree_cut_max_rounds: int = 200
+    # CFT-style Lagrangian greedy at the root (heuristics.
+    # lagrangian_greedy_covers): sample perturbed multiplier vectors around
+    # the root LP duals and run the score-based greedy per sample.  Runs
+    # only when the root integer gap is >= lagrangian_min_gap units (easy
+    # instances never pay for it); wall-clock bounded.  0 samples disables.
+    lagrangian_samples: int = 48
+    lagrangian_budget_sec: float = 5.0
+    lagrangian_min_gap: float = 2.0
 
     def replace(self, **kw) -> "BnbOptions":
         return dataclasses.replace(self, **kw)

@@ -660,6 +660,37 @@ def branch_and_bound(
         try_heuristics(res, root)
         if integral_cover(res) and res["pobj"] < best_obj - px_tol:
             adopt(res["x"], "presolve_exact_root_lp", res["pobj"])
+        # CFT-style Lagrangian greedy: only when the root integer gap is
+        # wide enough that threshold repair clearly left units on the table
+        # (easy scp4/5-class roots close to within 1 unit and skip this)
+        root_gap = best_obj - np.ceil(res["dobj"] - int_tol)
+        if (
+            bnb.lagrangian_samples > 0
+            and (not np.isfinite(best_obj) or root_gap >= bnb.lagrangian_min_gap)
+        ):
+            from sypha_tpu.milp.heuristics import lagrangian_greedy_covers
+
+            lg = lagrangian_greedy_covers(
+                base,
+                res["y"],
+                node=root,
+                time_budget_sec=(
+                    bnb.lagrangian_budget_sec
+                    if not np.isfinite(deadline)
+                    else max(
+                        0.05,
+                        min(bnb.lagrangian_budget_sec, deadline - time.monotonic()),
+                    )
+                ),
+                max_samples=bnb.lagrangian_samples,
+                best_known=best_obj,
+            )
+            if lg.feasible and lg.objective < best_obj - px_tol:
+                log.info(
+                    f"Lagrangian greedy incumbent: {best_obj:.12g} -> "
+                    f"{lg.objective:.12g}"
+                )
+                adopt(lg.solution, lg.name, lg.objective)
         if usable_bound(res):
             root_dual = res["dobj"]
             global_lower_raw = min(global_lower_raw, root_dual)

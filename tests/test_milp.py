@@ -228,3 +228,58 @@ def test_solve_nodes_deadline_bounds_wall_time(data_dir):
     # at most ~one wall-clock-target-sized dispatch past the deadline
     assert res["status"] in (IpmStatus.MAX_ITER, IpmStatus.CONVERGED)
     assert dt < 3 * cfg.bnb.iter_chunk_target_sec + 2.0, dt
+
+
+def test_lagrangian_greedy_builds_cover():
+    from sypha_tpu.milp.heuristics import lagrangian_greedy_covers
+
+    base = BaseModel(parse_scp_text(TINY))
+    # LP duals for TINY's relaxation (approximate values are fine — the
+    # heuristic only uses them as greedy weights)
+    dual = np.array([1.0, 1.0, 2.0])
+    h = lagrangian_greedy_covers(base, dual, max_samples=12)
+    assert h.feasible
+    assert base.is_cover(h.solution)
+    assert h.objective == pytest.approx(base.costs @ h.solution)
+    # TINY's integer optimum is 5 ({0,1}); the sampled greedy should find it
+    assert h.objective == pytest.approx(5.0)
+
+
+def test_lagrangian_greedy_respects_fixings_and_best_known():
+    from sypha_tpu.milp.heuristics import lagrangian_greedy_covers
+
+    base = BaseModel(parse_scp_text(TINY))
+    dual = np.array([1.0, 1.0, 2.0])
+    node = BranchNode().child(0, 0)  # col0 fixed to 0
+    h = lagrangian_greedy_covers(base, dual, node=node, max_samples=12)
+    if h.feasible:
+        assert h.solution[0] == 0.0
+        assert base.is_cover(h.solution)
+    # best_known at the optimum (5, cover {0,1}): no strictly-better cover
+    h2 = lagrangian_greedy_covers(base, dual, max_samples=12, best_known=5.0)
+    assert not h2.feasible
+
+
+def test_lagrangian_greedy_random_instances():
+    from sypha_tpu.milp.heuristics import lagrangian_greedy_covers
+    from sypha_tpu.milp.presolve import greedy_set_cover
+
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        m, n = 20, 60
+        A = (rng.rand(m, n) < 0.15).astype(float)
+        A[np.arange(m), rng.randint(0, n, m)] = 1.0  # every row coverable
+        costs = rng.randint(1, 20, n).astype(float)
+        lines = [f"{m} {n}", " ".join(str(int(c)) for c in costs)]
+        for i in range(m):
+            cols = np.flatnonzero(A[i])
+            lines.append(f"{len(cols)} " + " ".join(str(j + 1) for j in cols))
+        base = BaseModel(parse_scp_text("\n".join(lines)))
+        # crude multipliers: uniform
+        dual = np.ones(m)
+        h = lagrangian_greedy_covers(base, dual, max_samples=18)
+        g = greedy_set_cover(base)
+        assert h.feasible
+        assert base.is_cover(h.solution)
+        # sampled Lagrangian greedy should not lose to plain greedy by much
+        assert h.objective <= g.objective + 1e-9
