@@ -199,6 +199,22 @@ class BnbOptions:
     lagrangian_samples: int = 48
     lagrangian_budget_sec: float = 5.0
     lagrangian_min_gap: float = 2.0
+    # Core (kernel) search: on large-gap instances, recursively run the
+    # B&B restricted to a small column core (incumbent support + sampled
+    # Lagrangian cover supports + smallest-reduced-cost columns, ~core_mult
+    # x cover size) for core_time_frac of the remaining budget.  Any
+    # incumbent the restricted search finds is globally valid (a cover over
+    # a column subset is a cover); its bounds/proofs are NOT and are
+    # discarded.  0 disables.
+    core_time_frac: float = 0.45
+    core_time_cap_sec: float = 60.0
+    core_min_active: int = 1000
+    core_mult: int = 6
+    # Skip root cut rounds entirely when the root integer gap exceeds this
+    # many objective units (integral objectives only): CG/zero-half rounds
+    # can close 1-3 units, never 25, and each round re-solves the root LP.
+    # 0 disables the skip.
+    cut_skip_gap: float = 10.0
 
     def replace(self, **kw) -> "BnbOptions":
         return dataclasses.replace(self, **kw)

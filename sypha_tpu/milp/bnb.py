@@ -134,8 +134,15 @@ class _NodeLpSolver:
     def _rebuild_device_base(self):
         A, b, c, n0 = self.base.standard_form(None)
         m0, n_real = A.shape[0], A.shape[1]
-        mp = max(self._bucket[0], _round_up(m0 + self.CUT_HEADROOM, 32))
-        np_ = max(self._bucket[1], _round_up(n_real + self.CUT_HEADROOM, 128))
+        # the bucket grows ONLY when the model no longer fits: re-adding
+        # the headroom on top of a cut-grown model would move the bucket
+        # (1219+64 -> 1408 while 1219 still fits in 1280) and force a
+        # mid-solve XLA recompile that room_for_cuts() was built to prevent
+        mp, np_ = self._bucket
+        if m0 > mp:
+            mp = _round_up(m0 + self.CUT_HEADROOM, 32)
+        if n_real > np_:
+            np_ = _round_up(n_real + self.CUT_HEADROOM, 128)
         self._bucket = (mp, np_)
         lp = pad_standard_form(A, b, c, n_struct=n0, m_pad=mp, n_pad=np_)
         self._device_base = lp
@@ -202,12 +209,24 @@ class _NodeLpSolver:
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         rungs = sorted({max(1, n_dev), _round_up(self.cfg.bnb.node_batch, n_dev)})
         np_ = self._device_base.n_pad
+        mp = self._device_base.m_pad
         for opts in opts_list:
             for B in rungs:
                 fix0 = jnp.zeros((B, np_))
                 fix1 = jnp.zeros((B, np_))
                 st, *_ = self._dispatch(fix0, fix1, opts, None, None, 1)
                 jax.device_get(st.status)
+                # warm variant: every non-root window dispatches with
+                # parent-iterate warm starts, a DIFFERENT jit signature —
+                # uncompiled, the first warm window pays a remote compile
+                # (~60 s) inside the timed region
+                warm = (
+                    jnp.ones((B, np_), jnp.float32),
+                    jnp.ones((B, mp), jnp.float32),
+                    jnp.ones((B, np_), jnp.float32),
+                )
+                stw, *_ = self._dispatch(fix0, fix1, opts, warm, None, 1)
+                jax.device_get(stw.status)
                 if deadline_used:
                     st2, *_ = self._dispatch(fix0, fix1, opts, None, st, 2)
                     jax.device_get(st2.status)
@@ -428,13 +447,21 @@ def branch_and_bound(
     cfg: Optional[SolverConfig] = None,
     log: Optional[Logger] = None,
     mesh=None,
+    restrict_active=None,
+    warm_incumbent=None,
 ) -> MilpResult:
     """MILP branch & bound.  ``mesh`` (or cfg.bnb.mesh_devices > 0) runs
     every node window lane-sharded over the device mesh
     (parallel.mesh.solve_node_batch_sharded); across processes the
     incumbent/dual-bound/stop scalars pool via BoundPool each round — the
     only cross-host traffic, mirroring the host variables of the reference
-    (src/sypha_solver_bnb_driver.cpp:256-261, :1048-1079)."""
+    (src/sypha_solver_bnb_driver.cpp:256-261, :1048-1079).
+
+    ``restrict_active`` (bool mask over columns) restricts the search to a
+    column subset — used by the core-search phase.  Incumbents found under
+    a restriction are globally valid covers; OPTIMAL status and dual bounds
+    are only valid WITHIN the restriction (the caller must discard them).
+    ``warm_incumbent`` = (x_struct, objective) seeds the incumbent."""
     cfg = cfg or SolverConfig()
     log = log or Logger(verbosity=cfg.verbosity)
     t_start = time.monotonic()
@@ -462,6 +489,9 @@ def branch_and_bound(
 
     base = BaseModel(model)
     n_input = model.ncols
+    if restrict_active is not None:
+        base.deactivate(np.flatnonzero(base.active & ~np.asarray(restrict_active)))
+        log.debug(f"Restricted search: {base.n_active}/{n_input} columns active")
 
     obj_is_integral = bool(
         np.all(np.abs(base.costs - np.floor(base.costs + 0.5)) <= int_tol)
@@ -499,10 +529,17 @@ def branch_and_bound(
             best_solution = (x_ls > 0.5).astype(np.float64)
             incumbent_source = source + "+local_search"
 
+    if warm_incumbent is not None and np.isfinite(warm_incumbent[1]):
+        best_solution = (np.asarray(warm_incumbent[0])[:n_input] > 0.5).astype(
+            np.float64
+        )
+        best_obj = float(warm_incumbent[1])
+        incumbent_source = "warm_incumbent"
+
     # ---- phase 1: greedy incumbent ----
     log.info("BnB preprocessing: running greedy set cover heuristic")
     greedy = greedy_set_cover(base)
-    if greedy.feasible:
+    if greedy.feasible and greedy.objective < best_obj - px_tol:
         x = np.zeros(n_input)
         x[greedy.selected] = 1.0
         adopt(x, "greedy_set_cover", greedy.objective)
@@ -651,6 +688,7 @@ def branch_and_bound(
         return improved
 
     # ---- phase 3: root LP + heuristics + exact-root check ----
+    lagrangian_pool: List = []
     log.info("BnB preprocessing: solving root LP relaxation")
     res = solve_single(root)
     root_ok = res["status"] in (
@@ -684,7 +722,9 @@ def branch_and_bound(
                 ),
                 max_samples=bnb.lagrangian_samples,
                 best_known=best_obj,
+                keep_pool=12 if bnb.core_time_frac > 0 else 0,
             )
+            lagrangian_pool = lg.pool
             if lg.feasible and lg.objective < best_obj - px_tol:
                 log.info(
                     f"Lagrangian greedy incumbent: {best_obj:.12g} -> "
@@ -756,7 +796,26 @@ def branch_and_bound(
             out.append(cu)
         return out
 
-    if bnb.cuts_enabled and bnb.cut_rounds_root > 0:
+    # Root cut rounds cannot close a many-unit integer gap (nrg-class: LP
+    # bound 149 vs incumbent 175) but each round costs a full root LP
+    # re-solve (~30 s at 1000x10000) — skip them when the gap is hopeless
+    # and leave the budget to the incumbent side (core search + tree).
+    _root_gap_units = (
+        best_obj - global_lower
+        if np.isfinite(best_obj) and np.isfinite(global_lower)
+        else 0.0
+    )
+    _cuts_hopeless = (
+        bnb.cut_skip_gap > 0
+        and obj_is_integral
+        and _root_gap_units > bnb.cut_skip_gap
+    )
+    if _cuts_hopeless:
+        log.info(
+            f"Skipping root cut rounds: integer gap {_root_gap_units:.0f} "
+            f"units > cut_skip_gap {bnb.cut_skip_gap:.0f}"
+        )
+    if bnb.cuts_enabled and bnb.cut_rounds_root > 0 and not _cuts_hopeless:
         for cut_round in range(bnb.cut_rounds_root):
             if time_up():
                 log.info("Time limit reached during root cut rounds")
@@ -810,6 +869,102 @@ def branch_and_bound(
             log.info(f"Post-cut budget pruning: {removed} cols masked")
             solver.refresh()
 
+    # ---- phase 6.8: core (kernel) search ----
+    # On large-gap instances (nrg/nrh class: LP relaxation weak, the full
+    # tree cannot close within budget), recursively run this same B&B
+    # restricted to a small column core — incumbent support + sampled
+    # Lagrangian cover supports + smallest-reduced-cost columns.  The
+    # restricted tree is orders of magnitude smaller, so within its time
+    # slice the search (cuts, reduced-cost fixing, exact closure — all
+    # core-valid) digs several incumbent units deeper than heuristics can.
+    # Only the incumbent transfers back (a cover over a subset of columns
+    # is a cover); the restricted run's bounds and OPTIMAL claims are
+    # discarded.  Classic kernel-search / CFT core strategy; no reference
+    # counterpart.
+    if (
+        restrict_active is None
+        and bnb.core_time_frac > 0
+        and np.isfinite(best_obj)
+        and base.n_active >= bnb.core_min_active
+        and (
+            not np.isfinite(global_lower)
+            or best_obj - global_lower >= bnb.lagrangian_min_gap
+        )
+        and not time_up()
+    ):
+        res_c = solve_single(BranchNode())
+        if res_c["status"] != IpmStatus.INFEASIBLE_OR_NUMERICAL:
+            support = np.flatnonzero(best_solution > 0.5)
+            core = set(int(j) for j in support)
+            for _, cx in lagrangian_pool:
+                core |= set(int(j) for j in np.flatnonzero(cx > 0.5))
+            y_c = np.maximum(0.0, res_c["y"][: base.nrows_cover])
+            A_cov = base.rel_csr()[0][: base.nrows_cover]
+            rc = base.costs - A_cov.T @ y_c
+            rc[~base.active] = np.inf
+            target = bnb.core_mult * max(1, len(support))
+            for j in np.argsort(rc):
+                if len(core) >= target:
+                    break
+                if base.active[j]:
+                    core.add(int(j))
+            core_mask = np.zeros(n_input, dtype=bool)
+            core_mask[list(core)] = True
+            # masked columns were removed by improving-solution-preserving
+            # arguments: never resurrect them into the core
+            core_mask &= base.active
+            slice_sec = bnb.core_time_cap_sec
+            if np.isfinite(deadline):
+                slice_sec = min(
+                    slice_sec,
+                    bnb.core_time_frac * max(0.0, deadline - time.monotonic()),
+                )
+            if slice_sec > 2.0 and core_mask.sum() < base.n_active:
+                log.info(
+                    f"Core search: {int(core_mask.sum())} columns, "
+                    f"{slice_sec:.1f}s slice"
+                )
+                sub = branch_and_bound(
+                    model,
+                    cfg.replace(
+                        bnb=bnb.replace(
+                            hard_time_limit_sec=slice_sec,
+                            precompile=False,
+                            checkpoint_path="",
+                            mesh_devices=0,
+                            lagrangian_budget_sec=min(
+                                2.0, bnb.lagrangian_budget_sec
+                            ),
+                        ),
+                    ),
+                    log,
+                    mesh=None,
+                    restrict_active=core_mask,
+                    warm_incumbent=(best_solution, best_obj),
+                )
+                if (
+                    np.isfinite(sub.objective)
+                    and sub.objective < best_obj - px_tol
+                    and len(sub.solution)
+                ):
+                    xs = (np.asarray(sub.solution)[:n_input] > 0.5).astype(
+                        np.float64
+                    )
+                    if base.is_cover(xs):
+                        log.info(
+                            f"Core search improved incumbent: {best_obj:.12g} "
+                            f"-> {float(base.costs @ xs):.12g}"
+                        )
+                        adopt(xs, "core_search", float(base.costs @ xs))
+                        reduce_by_incumbent()
+                        incumbent_budget_pruning(
+                            base,
+                            best_obj,
+                            px_tol,
+                            host_budget(cfg.preprocess_time_limit_sec),
+                        )
+                        solver.refresh()
+
     # ---- main loop ----
     root.parent_dual_bound = global_lower if np.isfinite(global_lower) else -np.inf
     root.parent_dual_bound_raw = (
@@ -825,7 +980,13 @@ def branch_and_bound(
     # (reference behavior) but their bounds cap the final claim — we never
     # report OPTIMAL over an unexplored feasible subtree
     numerical_failures: List[BranchNode] = []
-    _closure_inconclusive = None  # (n_active, best_obj) of a timed-out closure
+    # timed-out exact-closure bookkeeping: face size / incumbent at the last
+    # inconclusive attempt, attempt count (budget doubles per attempt), the
+    # attempt's end time and budget (retries are amortized to <= 1/3 of
+    # tree time even without face progress — scp46-class plateaus explode
+    # the frontier without ever shrinking the face, so a single fixed-budget
+    # attempt used to be the only one the whole run got)
+    _closure_inconclusive = None  # dict(n, obj, attempts, t_end, budget)
 
     # ---- checkpoint resume ----
     ckpt = _load_checkpoint(bnb.checkpoint_path, log) if bnb.checkpoint_path else None
@@ -889,6 +1050,11 @@ def branch_and_bound(
     iterations_reduced = False
     best_mip_gap_seen = np.inf
     node_at_last_improvement = 0
+    # once the gap stagnates, periodically re-run the reduced-root refresh
+    # (which chains into the escalating exact face closure): on scp46-class
+    # plateaus the tree grinds thousands of unbounded nodes while the 126-
+    # column face is one long-enough enumeration away from a proof
+    next_closure_try = 0.0
 
     sb_opts = ipm_opts.replace(max_iter=12, tol_gap=1e-5, tol_feas=1e-6)
 
@@ -1088,22 +1254,46 @@ def branch_and_bound(
                     prune_frontier()
                     reduce_by_incumbent()
                     continue
+            closure_budget = 8.0
             if _closure_inconclusive is not None and seed_y is not None:
-                # a dual-armed attempt already timed out: retry only after
-                # real progress (face 10% smaller or a better incumbent),
-                # so hopeless faces don't burn 8 s per mid-B&B refresh
-                n_prev, obj_prev = _closure_inconclusive
-                if base.n_active > 0.9 * n_prev and best_obj >= obj_prev:
+                # a dual-armed attempt already timed out: retry when the
+                # face shrank 10% / the incumbent improved, OR after enough
+                # tree time has passed to amortize a DOUBLED budget (<= 1/3
+                # of wall time in closure attempts overall)
+                st = _closure_inconclusive
+                shrunk = (
+                    base.n_active <= 0.9 * st["n"] or best_obj < st["obj"]
+                )
+                closure_budget = min(8.0 * (2.0 ** st["attempts"]), 120.0)
+                waited = (
+                    time.monotonic() - st["t_end"] >= 2.0 * closure_budget
+                )
+                if not (shrunk or waited):
                     return False
             verdict, x = exact_small_cover(
-                base, budget, time_limit_sec=host_budget(8.0), duals=seed_y
+                base,
+                budget,
+                time_limit_sec=host_budget(closure_budget),
+                duals=seed_y,
             )
             if verdict is None:
                 log.debug(
                     f"Exact face enumeration inconclusive at "
-                    f"{base.n_active} active cols, budget {budget:.6g}"
+                    f"{base.n_active} active cols, budget {budget:.6g} "
+                    f"({closure_budget:.0f}s attempt)"
                 )
-                _closure_inconclusive = (base.n_active, best_obj)
+                prev_attempts = (
+                    _closure_inconclusive["attempts"]
+                    if _closure_inconclusive is not None
+                    else 0
+                )
+                _closure_inconclusive = dict(
+                    n=base.n_active,
+                    obj=best_obj,
+                    attempts=prev_attempts + 1,
+                    t_end=time.monotonic(),
+                    budget=closure_budget,
+                )
                 return False
             if verdict is False:
                 log.info(
@@ -1162,6 +1352,14 @@ def branch_and_bound(
                     f"MIP gap {cur_gap * 100:.6f}% within LP tolerance; declaring optimal"
                 )
                 break
+        if iterations_reduced and now >= next_closure_try:
+            refresh_root_bound()
+            st = _closure_inconclusive
+            next_closure_try = time.monotonic() + max(
+                10.0, 2.0 * st["budget"] if st is not None else 0.0
+            )
+            if not frontier:
+                continue  # closed by the refresh/closure chain
         if bnb.log_interval_sec > 0 and now >= next_log:
             lo, raw = frontier_lower()
             if np.isfinite(lo):

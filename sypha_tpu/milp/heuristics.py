@@ -22,6 +22,10 @@ class HeuristicResult:
     feasible: bool = False
     objective: float = np.inf
     solution: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    # sampling heuristics optionally keep their best distinct covers here
+    # as (objective, x) pairs, ascending — the core-search phase unions
+    # their supports into the restricted column set
+    pool: list = field(default_factory=list)
 
 
 def _apply_decisions(x: np.ndarray, node: Optional[BranchNode]):
@@ -47,6 +51,7 @@ def nearest_integer_fixing(
     checking the covering rows suffices."""
     out = HeuristicResult("nearest_integer_fixing")
     x = np.clip(np.floor(relaxed_primal[: model.ncols] + 0.5), 0.0, 1.0)
+    x[~model.active] = 0.0  # masked/restricted columns are not selectable
     _apply_decisions(x, node)
     A, rhs = model.rel_csr()
     if np.all(A @ x + tol >= rhs):
@@ -99,6 +104,7 @@ def _repair_from_threshold(
 
     x = np.zeros(n)
     x[relaxed_primal[:n] >= threshold] = 1.0
+    x[~model.active] = 0.0
     fixed_zero, fixed_one = _apply_decisions(x, node)
 
     coverage = A @ x
@@ -110,11 +116,11 @@ def _repair_from_threshold(
         gain = np.asarray(Au.maximum(0).sum(axis=0)).ravel()
         dual_gain = Au.maximum(0).T @ dual[uncovered]
         score = (gain + dual_gain) / np.maximum(1e-9, model.costs)
-        score[(x > 0.5) | fixed_zero | (gain <= 0.0)] = -np.inf
+        score[(x > 0.5) | fixed_zero | (gain <= 0.0) | ~model.active] = -np.inf
         best = int(np.argmax(score))
         if not np.isfinite(score[best]):
             # fallback: cheapest selectable column on any uncovered row
-            cand = np.flatnonzero((gain > 0) & ~fixed_zero & (x <= 0.5))
+            cand = np.flatnonzero((gain > 0) & ~fixed_zero & (x <= 0.5) & model.active)
             if len(cand) == 0:
                 return out
             best = int(cand[np.argmin(model.costs[cand])])
@@ -275,6 +281,7 @@ def lagrangian_greedy_covers(
     max_samples: int = 48,
     best_known: float = np.inf,
     seed: int = 20240817,
+    keep_pool: int = 0,
 ) -> HeuristicResult:
     """CFT-style Lagrangian greedy (Caprara–Fischetti–Toth, the classic
     large-SCP primal heuristic; no reference counterpart): sample multiplier
@@ -351,8 +358,15 @@ def lagrangian_greedy_covers(
                 x[j] = 1.0
             else:
                 cost -= costs[j]
-        if cost < best_cost - 1e-9 and not np.any(A @ x + tol < rhs):
+        if np.any(A @ x + tol < rhs):
+            continue
+        if keep_pool > 0:
+            out.pool.append((cost, x.copy()))
+        if cost < best_cost - 1e-9:
             best_x, best_cost = x.copy(), cost
+    if keep_pool > 0 and out.pool:
+        out.pool.sort(key=lambda t: t[0])
+        out.pool = out.pool[:keep_pool]
     if best_x is not None:
         out.feasible = True
         out.solution = best_x

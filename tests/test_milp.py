@@ -283,3 +283,85 @@ def test_lagrangian_greedy_random_instances():
         assert base.is_cover(h.solution)
         # sampled Lagrangian greedy should not lose to plain greedy by much
         assert h.objective <= g.objective + 1e-9
+
+
+def test_core_search_sound_and_global_incumbent():
+    """Core (kernel) search: restricted-run incumbents must be globally
+    valid covers and never degrade the final objective; OPTIMAL claims of
+    the restricted run must not leak (the outer run still proves with its
+    own tree)."""
+    rng = np.random.RandomState(11)
+    m, n = 25, 80
+    A = (rng.rand(m, n) < 0.2).astype(float)
+    A[np.arange(m), rng.randint(0, n, m)] = 1.0
+    costs = rng.randint(1, 30, n).astype(float)
+    lines = [f"{m} {n}", " ".join(str(int(c)) for c in costs)]
+    for i in range(m):
+        cols = np.flatnonzero(A[i])
+        lines.append(f"{len(cols)} " + " ".join(str(j + 1) for j in cols))
+    model = parse_scp_text("\n".join(lines))
+    opt = scipy_milp_optimum(model)
+
+    from sypha_tpu.config import BnbOptions
+
+    cfg = SolverConfig(
+        verbosity=0,
+        bnb=BnbOptions(
+            core_min_active=10,  # force the core phase on a tiny instance
+            core_mult=3,
+            core_time_cap_sec=5.0,
+            lagrangian_min_gap=0.0,
+            hard_time_limit_sec=60.0,
+        ),
+    )
+    r = branch_and_bound(model, cfg)
+    assert r.status == MilpStatus.OPTIMAL
+    assert r.objective == pytest.approx(opt)
+
+
+def test_warm_incumbent_and_restrict_active():
+    from sypha_tpu.milp.bnb import branch_and_bound as bb
+
+    model = parse_scp_text(TINY)
+    # restrict away column 1 (part of the true optimum {0,1}): the
+    # restricted search must still return a valid cover over the rest
+    mask = np.array([True, False, True, True])
+    r = bb(model, SolverConfig(verbosity=0), restrict_active=mask)
+    assert r.objective == pytest.approx(6.0)  # {0,2}
+    assert r.solution[1] == 0.0
+    # warm incumbent better than anything the restricted model can find
+    # must survive (it seeds the incumbent and nothing beats it)
+    warm = np.array([1.0, 1.0, 0.0, 0.0])
+    r2 = bb(
+        model,
+        SolverConfig(verbosity=0),
+        restrict_active=mask,
+        warm_incumbent=(warm, 5.0),
+    )
+    assert r2.objective == pytest.approx(5.0)
+
+
+def test_node_lp_bucket_stable_under_cut_growth():
+    """Regression: appending cuts WITHIN room_for_cuts() must never grow
+    the padded bucket (a grown bucket = a fresh XLA compile mid-solve,
+    which once cost scp46 ~100s inside a 120s budget)."""
+    from sypha_tpu.milp.base_model import Cut
+    from sypha_tpu.milp.bnb import _NodeLpSolver
+    from sypha_tpu.utils.logging import Logger
+
+    base = BaseModel(parse_scp_text(TINY))
+    solver = _NodeLpSolver(base, SolverConfig(verbosity=0), Logger(verbosity=0))
+    solver._rebuild_device_base()
+    bucket0 = solver._bucket
+    room = solver.room_for_cuts()
+    assert room > 0
+    cuts = [
+        Cut(indices=np.array([0, 1], dtype=np.int32),
+            values=np.array([1.0, 1.0]), rhs=1.0)
+        for _ in range(room)
+    ]
+    base.add_cuts(cuts)
+    solver.refresh()
+    solver._rebuild_device_base()
+    assert solver._bucket == bucket0, (solver._bucket, bucket0)
+    assert solver.room_for_cuts() == 0
