@@ -136,6 +136,15 @@ class BnbOptions:
     # DeviceNodeWindow capacity of 1000 — we actually solve the window
     # concurrently rather than staging it.
     node_batch: int = 64
+    # Parent-iterate warm starts for node LPs.  Default OFF: measured on
+    # scp49 children, warm-started lanes need 43-48 IPM iterations vs
+    # 14-15 cold (the 1e-3 interior clamp leaves a near-boundary point
+    # Mehrotra recenters from slowly), and under the gap-stagnation
+    # throttle (16 iters) every warm lane returns MAX_ITER garbage whose
+    # children inherit a worse iterate still — unreliable bounds, no
+    # pruning, exponential frontier churn.  Cold starts are 3x faster and
+    # reliable; the machinery stays for future shift-tuning experiments.
+    warm_start_nodes: bool = False
     gap_stall_branch_iters: int = 5
     gap_stall_min_improv_pct: float = 1.0
     integrality_tol: float = 1e-6

@@ -216,17 +216,17 @@ class _NodeLpSolver:
                 fix1 = jnp.zeros((B, np_))
                 st, *_ = self._dispatch(fix0, fix1, opts, None, None, 1)
                 jax.device_get(st.status)
-                # warm variant: every non-root window dispatches with
-                # parent-iterate warm starts, a DIFFERENT jit signature —
-                # uncompiled, the first warm window pays a remote compile
-                # (~60 s) inside the timed region
-                warm = (
-                    jnp.ones((B, np_), jnp.float32),
-                    jnp.ones((B, mp), jnp.float32),
-                    jnp.ones((B, np_), jnp.float32),
-                )
-                stw, *_ = self._dispatch(fix0, fix1, opts, warm, None, 1)
-                jax.device_get(stw.status)
+                if self.cfg.bnb.warm_start_nodes:
+                    # warm variant: a DIFFERENT jit signature — uncompiled,
+                    # the first warm window would pay a remote compile
+                    # (~60 s) inside the timed region
+                    warm = (
+                        jnp.ones((B, np_), jnp.float32),
+                        jnp.ones((B, mp), jnp.float32),
+                        jnp.ones((B, np_), jnp.float32),
+                    )
+                    stw, *_ = self._dispatch(fix0, fix1, opts, warm, None, 1)
+                    jax.device_get(stw.status)
                 if deadline_used:
                     st2, *_ = self._dispatch(fix0, fix1, opts, None, st, 2)
                     jax.device_get(st2.status)
@@ -275,7 +275,7 @@ class _NodeLpSolver:
         fix1 = np.zeros((B, np_), dtype=np.float64)
         # parent-iterate warm start: all-or-nothing per batch (lanes without
         # a parent iterate would otherwise need a second compiled variant)
-        use_warm = B_real > 0 and all(
+        use_warm = B_real > 0 and self.cfg.bnb.warm_start_nodes and all(
             n.warm is not None
             and n.warm[0].shape[0] == np_  # bucket unchanged since parent
             and n.warm[1].shape[0] == mp
@@ -388,12 +388,15 @@ class _NodeLpSolver:
                     "dobj": float(host["dobj"][li]),
                     "res_d": float(host["res_d"][li]),
                     # padded iterate for children's warm starts (f32 halves
-                    # the frontier's host memory footprint)
+                    # the frontier's host memory footprint); only kept when
+                    # warm starts are enabled
                     "warm": (
                         host["xr"][li].astype(np.float32),
                         host["y"][li].astype(np.float32),
                         host["sr"][li].astype(np.float32),
-                    ),
+                    )
+                    if self.cfg.bnb.warm_start_nodes
+                    else None,
                 }
             )
         return out
@@ -1216,17 +1219,39 @@ def branch_and_bound(
             seed_y=res["y"] if res is not None else None,
         )
 
+    def lift_bound_to(new_lower: float):
+        """A face refutation at budget b proves NO improving solution of
+        cost <= b exists globally (the maskings preserve an improving
+        witness inside the face), so every open subtree's bound lifts to
+        b+1 — frontier nodes AND recorded numerical failures alike."""
+        nonlocal global_lower, global_lower_raw
+        global_lower = max(global_lower, new_lower) if np.isfinite(global_lower) else new_lower
+        global_lower_raw = (
+            max(global_lower_raw, new_lower)
+            if np.isfinite(global_lower_raw)
+            else new_lower
+        )
+        for nd in list(frontier) + numerical_failures:
+            nd.parent_dual_bound = max(nd.parent_dual_bound, new_lower)
+            nd.parent_dual_bound_raw = max(nd.parent_dual_bound_raw, new_lower)
+
     def try_exact_closure(seed_x=None, seed_y=None) -> bool:
         """When the improving-preserving reductions have shrunk the active
         set to a small LP-optimal face, finish the search EXACTLY with a
-        host-side implicit enumeration (presolve.exact_small_cover): find
-        a cover at cost <= incumbent-1 or prove none exists among the
-        active columns.  Either outcome closes the last integer unit that
-        plateau searches otherwise grind on nondeterministically.  A
-        refutation is a GLOBAL optimality proof (the masked columns were
-        removed by improving-solution-preserving arguments), so it also
-        discharges recorded numerical failures.  Returns True when the
-        search was closed."""
+        host-side implicit enumeration (presolve.exact_small_cover) by
+        BOTTOM-UP budget probing: starting at the proven dual bound b,
+        refute "a cover of cost <= b exists" and raise b one unit at a
+        time until either b reaches incumbent-1 (incumbent optimal) or a
+        cover IS found at cost b (that cover is optimal: cost == the
+        proven bound).  Tight budgets prune the DFS exponentially harder
+        than the top-down incumbent-1 budget (scp52's 216-column face:
+        refute 300 in 0.1 s, refute 301 in 0.5 s, find 302 in 1.9 s vs
+        69 s for the top-down find), and every refutation PERSISTS in
+        global_lower — a timed-out probing session resumes where it left
+        off instead of restarting.  A refutation is globally valid (the
+        masked columns were removed by improving-solution-preserving
+        arguments), so it also lifts recorded numerical-failure bounds.
+        Returns True when the search was closed."""
         nonlocal frontier, _closure_inconclusive
         if not (obj_is_integral and np.isfinite(best_obj)):
             return False
@@ -1237,15 +1262,12 @@ def branch_and_bound(
         # columns; without duals only the weak spread bounds apply
         reach = 1024 if seed_y is not None else 384
         while base.n_active <= reach and not time_up():
-            budget = best_obj - 1.0 + int_tol
             # FIND side: LP-guided randomized rounding on the face (cheap
-            # and reliable where the exponential enumeration times out);
-            # the REFUTE side is the LP's job — once the incumbent hits
-            # the floored reduced-root bound, the driver's gap check
-            # proves optimality
+            # and reliable where the exponential enumeration times out)
             if seed_x is not None:
                 found = sample_cover(
-                    base, seed_x, budget, time_limit_sec=host_budget(2.0)
+                    base, seed_x, best_obj - 1.0 + int_tol,
+                    time_limit_sec=host_budget(2.0),
                 )
                 if found is not None:
                     obj_f = float(base.costs @ (found > 0.5))
@@ -1254,60 +1276,100 @@ def branch_and_bound(
                     prune_frontier()
                     reduce_by_incumbent()
                     continue
-            closure_budget = 8.0
+            session_budget = 8.0
             if _closure_inconclusive is not None and seed_y is not None:
-                # a dual-armed attempt already timed out: retry when the
-                # face shrank 10% / the incumbent improved, OR after enough
-                # tree time has passed to amortize a DOUBLED budget (<= 1/3
-                # of wall time in closure attempts overall)
+                # a dual-armed session already timed out: retry when the
+                # face shrank 10% / the incumbent improved / the probe
+                # level advanced, OR after enough tree time has passed to
+                # amortize a DOUBLED session (<= 1/3 of wall time overall)
                 st = _closure_inconclusive
-                shrunk = (
-                    base.n_active <= 0.9 * st["n"] or best_obj < st["obj"]
+                progressed = (
+                    base.n_active <= 0.9 * st["n"]
+                    or best_obj < st["obj"]
+                    or (np.isfinite(global_lower) and global_lower > st.get("probe", -np.inf))
                 )
-                closure_budget = min(8.0 * (2.0 ** st["attempts"]), 120.0)
+                session_budget = min(8.0 * (2.0 ** st["attempts"]), 120.0)
                 waited = (
-                    time.monotonic() - st["t_end"] >= 2.0 * closure_budget
+                    time.monotonic() - st["t_end"] >= 2.0 * session_budget
                 )
-                if not (shrunk or waited):
+                if not (progressed or waited):
                     return False
-            verdict, x = exact_small_cover(
-                base,
-                budget,
-                time_limit_sec=host_budget(closure_budget),
-                duals=seed_y,
+            session_budget = host_budget(session_budget)
+            t_session_end = time.monotonic() + session_budget
+            # bottom-up probe start: the proven (ceil-tightened) bound;
+            # fall back to the top-down incumbent-1 budget when no finite
+            # bound exists (root LP failed)
+            probe = (
+                float(np.round(global_lower))
+                if np.isfinite(global_lower)
+                else best_obj - 1.0
             )
-            if verdict is None:
-                log.debug(
-                    f"Exact face enumeration inconclusive at "
-                    f"{base.n_active} active cols, budget {budget:.6g} "
-                    f"({closure_budget:.0f}s attempt)"
+            verdict = None
+            while probe <= best_obj - 1.0 + int_tol:
+                slice_sec = t_session_end - time.monotonic()
+                if slice_sec <= 0.05:
+                    verdict = None
+                    break
+                verdict, x = exact_small_cover(
+                    base,
+                    probe + int_tol,
+                    time_limit_sec=slice_sec,
+                    duals=seed_y,
                 )
+                if verdict is None:
+                    break
+                if verdict is False:
+                    lift_bound_to(min(probe + 1.0, best_obj))
+                    log.info(
+                        f"Face probe refuted cost <= {probe:.6g} over "
+                        f"{base.n_active} active columns: dual bound -> "
+                        f"{min(probe + 1.0, best_obj):.6g}"
+                    )
+                    probe += 1.0
+                    continue
+                obj = float(base.costs @ (x > 0.5))
+                log.info(
+                    f"Face probe found a cover at the proven bound: "
+                    f"{obj:.12g}"
+                )
+                adopt(x, "exact_face_enumeration", obj)
+                if obj <= global_lower + px_tol:
+                    # cost == proven dual bound: optimal
+                    frontier.clear()
+                    numerical_failures.clear()
+                    return True
+                prune_frontier()
+                reduce_by_incumbent()
+                break  # face changed: restart the outer loop
+            else:
+                # refuted everything below the incumbent: optimal
+                log.info(
+                    f"Face probing refuted every cost <= {best_obj - 1.0:.6g} "
+                    f"among {base.n_active} active columns — incumbent is "
+                    f"optimal"
+                )
+                frontier.clear()
+                numerical_failures.clear()
+                return True
+            if verdict is None:
                 prev_attempts = (
                     _closure_inconclusive["attempts"]
                     if _closure_inconclusive is not None
                     else 0
+                )
+                log.debug(
+                    f"Face probing inconclusive at {base.n_active} active "
+                    f"cols, probe {probe:.6g} ({session_budget:.0f}s session)"
                 )
                 _closure_inconclusive = dict(
                     n=base.n_active,
                     obj=best_obj,
                     attempts=prev_attempts + 1,
                     t_end=time.monotonic(),
-                    budget=closure_budget,
+                    budget=session_budget,
+                    probe=probe,
                 )
                 return False
-            if verdict is False:
-                log.info(
-                    f"Exact face enumeration: no cover <= {budget:.6g} among "
-                    f"{base.n_active} active columns — incumbent is optimal"
-                )
-                frontier.clear()
-                numerical_failures.clear()
-                return True
-            obj = float(base.costs @ (x > 0.5))
-            log.info(f"Exact face enumeration found a cover: {obj:.12g}")
-            adopt(x, "exact_face_enumeration", obj)
-            prune_frontier()
-            reduce_by_incumbent()
         return False
 
     # Root closure attempt: iterate reduced-cost fixing to a fixpoint and

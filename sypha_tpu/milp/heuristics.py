@@ -51,7 +51,6 @@ def nearest_integer_fixing(
     checking the covering rows suffices."""
     out = HeuristicResult("nearest_integer_fixing")
     x = np.clip(np.floor(relaxed_primal[: model.ncols] + 0.5), 0.0, 1.0)
-    x[~model.active] = 0.0  # masked/restricted columns are not selectable
     _apply_decisions(x, node)
     A, rhs = model.rel_csr()
     if np.all(A @ x + tol >= rhs):
@@ -104,7 +103,6 @@ def _repair_from_threshold(
 
     x = np.zeros(n)
     x[relaxed_primal[:n] >= threshold] = 1.0
-    x[~model.active] = 0.0
     fixed_zero, fixed_one = _apply_decisions(x, node)
 
     coverage = A @ x
@@ -116,11 +114,17 @@ def _repair_from_threshold(
         gain = np.asarray(Au.maximum(0).sum(axis=0)).ravel()
         dual_gain = Au.maximum(0).T @ dual[uncovered]
         score = (gain + dual_gain) / np.maximum(1e-9, model.costs)
-        score[(x > 0.5) | fixed_zero | (gain <= 0.0) | ~model.active] = -np.inf
+        # masked (inactive) columns stay selectable: every masking rule
+        # (dominance, budget pruning, reduced-cost fixing, core restriction)
+        # preserves cover FEASIBILITY of the masked columns — only
+        # better-than-incumbent membership — and incumbents are filtered by
+        # objective at adoption.  Restricting the repair pool to active
+        # columns cost scp52 its optimal 302 incumbent (stalled at 306).
+        score[(x > 0.5) | fixed_zero | (gain <= 0.0)] = -np.inf
         best = int(np.argmax(score))
         if not np.isfinite(score[best]):
             # fallback: cheapest selectable column on any uncovered row
-            cand = np.flatnonzero((gain > 0) & ~fixed_zero & (x <= 0.5) & model.active)
+            cand = np.flatnonzero((gain > 0) & ~fixed_zero & (x <= 0.5))
             if len(cand) == 0:
                 return out
             best = int(cand[np.argmin(model.costs[cand])])
@@ -283,19 +287,27 @@ def lagrangian_greedy_covers(
     seed: int = 20240817,
     keep_pool: int = 0,
 ) -> HeuristicResult:
-    """CFT-style Lagrangian greedy (Caprara–Fischetti–Toth, the classic
-    large-SCP primal heuristic; no reference counterpart): sample multiplier
-    vectors u_k as multiplicative perturbations of the root LP duals (for
-    SCP the Lagrangian dual has the integrality property, so the LP duals
-    ARE the optimal multipliers — the IPM hands them to us for free), and
-    for each u_k run the greedy with the CFT score
-        gamma_j = c_j - sum_{i uncovered, i in col j} u_i,
-        score_j = gamma_j / mu_j  if gamma_j > 0  else  gamma_j * mu_j
-    (mu_j = uncovered-row mass column j covers), then redundancy-eliminate.
-    Different perturbations seed very different covers; on the 1000x10000
-    nrg/nrh families this closes incumbent units that threshold repair and
-    1-removal local search cannot reach.  Host numpy over the covering rows
-    only, wall-clock bounded."""
+    """CFT Lagrangian heuristic (Caprara–Fischetti–Toth, the classic
+    large-SCP primal machinery; no reference counterpart), two phases:
+
+    1. **Subgradient ascent** on the Lagrangian dual L(u) = sum_i u_i +
+       sum_j min(0, c_j - sum_{i in col j} u_i), Held–Karp step sizing
+       lam * (UB - L) / ||g||^2 with g = rhs - A x̂(u), lam halved after 15
+       non-improving iterations.  The LP duals seed u (for SCP the
+       Lagrangian dual has the integrality property, so they are already
+       near-optimal) — the point of the ascent is the *trajectory*: each
+       iterate is a structurally different near-optimal multiplier vector.
+    2. **Greedy covers along the trajectory** (every iterate that improves
+       L, plus multiplicative perturbation samples around the best u) with
+       the CFT score
+           gamma_j = c_j - sum_{i uncovered, i in col j} u_i,
+           score_j = gamma_j / mu_j  if gamma_j > 0  else  gamma_j * mu_j
+       (mu_j = uncovered-row mass column j covers), then
+       redundancy-eliminate.
+
+    Masked (inactive) columns stay selectable — every masking rule
+    preserves cover feasibility (see dual_guided_cover_repair).  Host
+    numpy over the covering rows only, wall-clock bounded."""
     import time as _time
 
     t_end = _time.monotonic() + time_budget_sec
@@ -315,16 +327,12 @@ def lagrangian_greedy_covers(
         for d in node.decisions:
             if 0 <= d.var < n:
                 (fixed_one if d.value == 1 else fixed_zero)[d.var] = True
-    blocked = fixed_zero | ~model.active
+    blocked = fixed_zero
 
-    rng = np.random.RandomState(seed)
-    deltas = (0.0, 0.05, 0.1, 0.15, 0.2, 0.3)
     best_x, best_cost = None, best_known
-    for k in range(max_samples):
-        if _time.monotonic() >= t_end:
-            break
-        delta = deltas[k % len(deltas)]
-        u = u0 if delta == 0.0 else u0 * (1.0 + rng.uniform(-delta, delta, m))
+
+    def greedy(u: np.ndarray):
+        nonlocal best_x, best_cost
         x = np.zeros(n)
         x[fixed_one] = 1.0
         coverage = A @ x
@@ -349,7 +357,7 @@ def lagrangian_greedy_covers(
         else:
             ok = False
         if not ok:
-            continue
+            return
         # redundancy elimination, most expensive first (keep fixed-to-1)
         sel = np.flatnonzero((x > 0.5) & ~fixed_one)
         for j in sel[np.argsort(-costs[sel], kind="stable")]:
@@ -359,11 +367,50 @@ def lagrangian_greedy_covers(
             else:
                 cost -= costs[j]
         if np.any(A @ x + tol < rhs):
-            continue
+            return
         if keep_pool > 0:
             out.pool.append((cost, x.copy()))
         if cost < best_cost - 1e-9:
             best_x, best_cost = x.copy(), cost
+
+    # ---- phase 1: subgradient ascent, greedy on L-improving iterates ----
+    ub_target = best_known if np.isfinite(best_known) else float(costs.sum())
+    u, lam, best_L, u_best, nonimp = u0.copy(), 0.1, -np.inf, u0.copy(), 0
+    greedy_budget = max(2, max_samples // 2)
+    greedies = 0
+    for _ in range(40 * greedy_budget):
+        if _time.monotonic() >= t_end or greedies >= greedy_budget:
+            break
+        gamma = costs - (u @ A)
+        xhat = (gamma < 0.0) & model.active & ~fixed_zero
+        xhat |= fixed_one
+        L = float(u @ rhs) + float(gamma[xhat].sum())
+        if L > best_L + 1e-9:
+            best_L, u_best, nonimp = L, u.copy(), 0
+            greedy(u)
+            greedies += 1
+        else:
+            nonimp += 1
+            if nonimp >= 15:
+                lam, nonimp = 0.5 * lam, 0
+                if lam < 1e-4:
+                    break
+        g = rhs - A @ xhat.astype(np.float64)
+        denom = float(g @ g)
+        if denom <= 1e-12:
+            break  # x̂ satisfies every row exactly: L is dual-optimal here
+        u = np.maximum(0.0, u + (lam * max(ub_target - L, 0.1) / denom) * g)
+
+    # ---- phase 2: perturbation samples around the best multipliers ----
+    rng = np.random.RandomState(seed)
+    deltas = (0.0, 0.05, 0.1, 0.15, 0.2, 0.3)
+    for k in range(max_samples):
+        if _time.monotonic() >= t_end:
+            break
+        delta = deltas[k % len(deltas)]
+        u = u_best if delta == 0.0 else u_best * (1.0 + rng.uniform(-delta, delta, m))
+        greedy(u)
+
     if keep_pool > 0 and out.pool:
         out.pool.sort(key=lambda t: t[0])
         out.pool = out.pool[:keep_pool]
