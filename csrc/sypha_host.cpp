@@ -506,7 +506,72 @@ struct ExactCoverCtx {
     int64_t calls = 0;
     std::vector<int32_t> chosen;
     bool timed_out = false;
+    // --- dynamic dual-ascent bound (armed when duals are provided) ---
+    // u[r] is a FEASIBLE multiplier vector (redc[i] >= 0 for every active
+    // column i), so sum_{r in U} u[r] lower-bounds any completion of an
+    // uncovered set U.  Each DFS node runs greedy ascent sweeps (raise u_r
+    // by the min reduced cost among r's candidates) on the uncovered rows;
+    // mutations go through an undo log popped on backtrack.  redc is NOT
+    // updated when rows become covered by a chosen column (that would only
+    // RAISE true slacks), so the tracked redc is a conservative
+    // underestimate and the bound stays admissible without per-descend
+    // bookkeeping.
+    bool ascend = false;
+    std::vector<double> u;
+    std::vector<double> redc;
+    std::vector<std::pair<int32_t, double>> ulog;
 };
+
+// apply u[r] += d and redc[by_row[r]] -= d, logged for undo.  Two uses:
+// ascent (d > 0: raise a row's multiplier into its candidates' slack) and
+// descend (d = -u[r] when row r becomes covered: zero its multiplier and
+// RETURN the mass to its candidates' slack so the child's ascent can
+// redistribute it onto the still-uncovered rows — the per-node adaptive
+// reallocation that makes deep plateau nodes refutable).
+inline void dual_apply(ExactCoverCtx& ctx, int32_t r, double d) {
+    ctx.u[static_cast<size_t>(r)] += d;
+    for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r)])
+        ctx.redc[static_cast<size_t>(i)] -= d;
+    ctx.ulog.emplace_back(r, d);
+}
+
+double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
+                   double lb_u) {
+    for (int sweep = 0; sweep < 2; ++sweep) {
+        double gained = 0.0;
+        for (int64_t w = 0; w < ctx.nwords; ++w) {
+            uint64_t miss = ctx.full[w] & ~cov[static_cast<size_t>(w)];
+            while (miss) {
+                const int bit = __builtin_ctzll(miss);
+                miss &= miss - 1;
+                const int32_t r = static_cast<int32_t>((w << 6) + bit);
+                const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
+                double d = 1e300;
+                for (int32_t i : cand) {
+                    const double rcij = ctx.redc[static_cast<size_t>(i)];
+                    if (rcij < d) d = rcij;
+                }
+                if (d > 1e-12 && d < 1e300) {
+                    dual_apply(ctx, r, d);
+                    lb_u += d;
+                    gained += d;
+                }
+            }
+        }
+        if (gained < 1e-9) break;
+    }
+    return lb_u;
+}
+
+void ascend_undo(ExactCoverCtx& ctx, size_t mark) {
+    while (ctx.ulog.size() > mark) {
+        const auto& e = ctx.ulog.back();
+        ctx.u[static_cast<size_t>(e.first)] -= e.second;
+        for (int32_t i : (*ctx.by_row)[static_cast<size_t>(e.first)])
+            ctx.redc[static_cast<size_t>(i)] += e.second;
+        ctx.ulog.pop_back();
+    }
+}
 
 bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost) {
     if ((++ctx.calls & 4095) == 0 &&
@@ -515,7 +580,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         return false;
     }
     // one pass: lower bounds + most-constrained uncovered row
-    double lb_spread = 0.0, lb_max = 0.0, lb_dual = 0.0;
+    double lb_spread = 0.0, lb_max = 0.0, lb_dual = 0.0, lb_u = 0.0;
     int32_t r_pick = -1;
     int32_t pick_c = INT32_MAX;
     for (int64_t w = 0; w < ctx.nwords; ++w) {
@@ -525,6 +590,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             const int32_t rr = static_cast<int32_t>((w << 6) + bit);
             lb_spread += ctx.spread[rr];
             lb_dual += ctx.dualw[rr];
+            if (ctx.ascend) lb_u += ctx.u[static_cast<size_t>(rr)];
             if (ctx.row_min[rr] > lb_max) lb_max = ctx.row_min[rr];
             if (ctx.n_cands[rr] < pick_c) { pick_c = ctx.n_cands[rr]; r_pick = rr; }
             miss &= miss - 1;
@@ -533,22 +599,59 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     if (r_pick < 0) return true;  // covered
     double lb = lb_spread > lb_max ? lb_spread : lb_max;
     if (lb_dual - ctx.dual_eps > lb) lb = lb_dual - ctx.dual_eps;
+    if (ctx.ascend && lb_u - ctx.dual_eps > lb) lb = lb_u - ctx.dual_eps;
     if (cost + lb > ctx.budget + 1e-9) return false;
+    const size_t umark = ctx.ulog.size();
+    if (ctx.ascend) {
+        // greedy dual ascent on the uncovered rows: feasible-u mass is a
+        // per-node-adaptive Lagrangian bound (undone on backtrack)
+        lb_u = ascend_pass(ctx, cov, lb_u);
+        if (cost + lb_u - ctx.dual_eps > ctx.budget + 1e-9) {
+            ascend_undo(ctx, umark);
+            return false;
+        }
+    }
     for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r_pick)]) {
         if (cost + ctx.costs[i] > ctx.budget + 1e-9) break;  // cost-sorted
         // picking i leaves uncovered U' with dual weight >= lb_dual -
         // (y-coverage of i) and the completion pays rc_i on top, so the
         // child bound is >= cost + lb_dual + rc_i: skip without recursing
         if (cost + lb_dual + ctx.rc[i] > ctx.budget + ctx.dual_eps) continue;
+        // dynamic variant with the ascended multipliers: the completion
+        // through i pays its (conservatively tracked) reduced cost on top
+        // of the uncovered u-mass
+        if (ctx.ascend &&
+            cost + lb_u + ctx.redc[static_cast<size_t>(i)] >
+                ctx.budget + ctx.dual_eps)
+            continue;
         std::vector<uint64_t> cov2(cov);
         for (int64_t w = 0; w < ctx.nwords; ++w)
             cov2[static_cast<size_t>(w)] |=
                 ctx.masks[static_cast<size_t>(i) * ctx.nwords + w];
+        const size_t cmark = ctx.ulog.size();
+        if (ctx.ascend) {
+            // rows newly covered by i: zero their multipliers, returning
+            // the mass to their candidates' slack for the child's ascent
+            for (int64_t w = 0; w < ctx.nwords; ++w) {
+                uint64_t newly =
+                    ctx.masks[static_cast<size_t>(i) * ctx.nwords + w] &
+                    ctx.full[w] & ~cov[static_cast<size_t>(w)];
+                while (newly) {
+                    const int bit = __builtin_ctzll(newly);
+                    newly &= newly - 1;
+                    const int32_t rr = static_cast<int32_t>((w << 6) + bit);
+                    const double ur = ctx.u[static_cast<size_t>(rr)];
+                    if (ur != 0.0) dual_apply(ctx, rr, -ur);
+                }
+            }
+        }
         ctx.chosen.push_back(i);
         if (exact_cover_dfs(ctx, cov2, cost + ctx.costs[i])) return true;
         ctx.chosen.pop_back();
-        if (ctx.timed_out) return false;
+        ascend_undo(ctx, cmark);
+        if (ctx.timed_out) { ascend_undo(ctx, umark); return false; }
     }
+    ascend_undo(ctx, umark);
     return false;
 }
 
@@ -620,23 +723,45 @@ extern "C" int sypha_exact_cover(
     // reference has no counterpart (its enumeration is the B&B itself); the
     // bound is the CFT-style Lagrangian bound specialised to fixed duals.
     std::vector<double> rcv(k, 0.0), dualw(static_cast<size_t>(nrows), 0.0);
+    std::vector<double> u0, redc0;
     double neg_rc = 0.0;
+    bool ascend = false;
     if (row_dual != nullptr) {
         std::vector<double> y(static_cast<size_t>(nrows), 0.0);
         for (int64_t r = 0; r < nrows; ++r) {
             const double v = row_dual[r];
             y[static_cast<size_t>(r)] = (v > 0.0 && v < 1e300) ? v : 0.0;
         }
+        std::vector<double> ysum(k, 0.0);
         for (size_t i = 0; i < k; ++i) {
             const int32_t j = act[i];
             double ys = 0.0;
             for (int64_t p = col_ptr[j]; p < col_ptr[j + 1]; ++p)
                 ys += y[static_cast<size_t>(col_idx[p])];
+            ysum[i] = ys;
             rcv[i] = c[i] - ys;
             if (rcv[i] < neg_rc) neg_rc = rcv[i];
         }
         for (int64_t r = 0; r < nrows; ++r)
             dualw[static_cast<size_t>(r)] = y[static_cast<size_t>(r)] + neg_rc;
+        // feasible starting multipliers for the per-node dual ascent:
+        // u0 = theta * y with theta = min_i c_i / (y-coverage of i) <= 1,
+        // so every initial reduced cost c_i - theta*ysum_i is >= 0 and the
+        // ascent only ever raises u while keeping redc >= 0
+        double theta = 1.0;
+        for (size_t i = 0; i < k; ++i)
+            if (ysum[i] > 1e-12 && c[i] / ysum[i] < theta)
+                theta = c[i] / ysum[i];
+        if (theta < 0.0) theta = 0.0;
+        u0.assign(static_cast<size_t>(nrows), 0.0);
+        for (int64_t r = 0; r < nrows; ++r)
+            u0[static_cast<size_t>(r)] = theta * y[static_cast<size_t>(r)];
+        redc0.resize(k);
+        for (size_t i = 0; i < k; ++i) {
+            redc0[i] = c[i] - theta * ysum[i];
+            if (redc0[i] < 0.0) redc0[i] = 0.0;  // numerical guard
+        }
+        ascend = true;
     }
 
     ExactCoverCtx ctx;
@@ -650,6 +775,12 @@ extern "C" int sypha_exact_cover(
     ctx.n_cands = n_cands.data();
     ctx.dualw = dualw.data();
     ctx.rc = rcv.data();
+    ctx.ascend = ascend;
+    if (ascend) {
+        ctx.u = std::move(u0);
+        ctx.redc = std::move(redc0);
+        ctx.ulog.reserve(1024);
+    }
     ctx.budget = budget;
     ctx.dual_eps = 1e-7 * (budget > 1.0 ? budget : 1.0);
     ctx.deadline = std::chrono::steady_clock::now() +
