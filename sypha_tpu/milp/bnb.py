@@ -1281,7 +1281,12 @@ def branch_and_bound(
                 # a dual-armed session already timed out: retry when the
                 # face shrank 10% / the incumbent improved / the probe
                 # level advanced, OR after enough tree time has passed to
-                # amortize a DOUBLED session (<= 1/3 of wall time overall)
+                # amortize a DOUBLED session.  The wait scales with tree
+                # productivity: while the tree moves bounds/incumbents the
+                # closure stays <= 1/3 of wall time, but once the tree
+                # stalls (plateau regime: closure is the only productive
+                # phase) the wait shrinks to 1/2 session and closure gets
+                # ~2/3 of the clock.
                 st = _closure_inconclusive
                 progressed = (
                     base.n_active <= 0.9 * st["n"]
@@ -1289,8 +1294,17 @@ def branch_and_bound(
                     or (np.isfinite(global_lower) and global_lower > st.get("probe", -np.inf))
                 )
                 session_budget = min(8.0 * (2.0 ** st["attempts"]), 120.0)
+                tree_idle = (
+                    best_obj >= st["obj"] - px_tol
+                    and (
+                        not np.isfinite(global_lower)
+                        or global_lower <= st.get("glb_end", -np.inf) + px_tol
+                    )
+                )
+                wait_factor = 0.5 if tree_idle else 2.0
                 waited = (
-                    time.monotonic() - st["t_end"] >= 2.0 * session_budget
+                    time.monotonic() - st["t_end"]
+                    >= wait_factor * session_budget
                 )
                 if not (progressed or waited):
                     return False
@@ -1305,11 +1319,27 @@ def branch_and_bound(
                 else best_obj - 1.0
             )
             verdict = None
+            last_refute_sec = 0.0
             while probe <= best_obj - 1.0 + int_tol:
                 slice_sec = t_session_end - time.monotonic()
                 if slice_sec <= 0.05:
                     verdict = None
                     break
+                # predictive early stop: refutation cost grows ~5-10x per
+                # probe unit; starting a probe that cannot finish inside
+                # the session burns its whole slice for nothing (the DFS
+                # is stateless across sessions).  Stop early, let the
+                # session ladder grow, retry when a session is big enough.
+                # At the ladder cap, attempt regardless — the prediction
+                # is a heuristic, not a proof.
+                if (
+                    last_refute_sec > 0.0
+                    and 5.0 * last_refute_sec > slice_sec
+                    and session_budget < 119.0
+                ):
+                    verdict = None
+                    break
+                t_probe = time.monotonic()
                 verdict, x = exact_small_cover(
                     base,
                     probe + int_tol,
@@ -1319,6 +1349,7 @@ def branch_and_bound(
                 if verdict is None:
                     break
                 if verdict is False:
+                    last_refute_sec = time.monotonic() - t_probe
                     lift_bound_to(min(probe + 1.0, best_obj))
                     log.info(
                         f"Face probe refuted cost <= {probe:.6g} over "
@@ -1368,6 +1399,7 @@ def branch_and_bound(
                     t_end=time.monotonic(),
                     budget=session_budget,
                     probe=probe,
+                    glb_end=global_lower,
                 )
                 return False
         return False
