@@ -82,14 +82,23 @@ def _pallas_probe(T: int, m: int, n: int) -> bool:
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
-    try:
-        import numpy as np
+    import numpy as np
 
-        a = jnp.asarray(np.ones((T, m, n), np.float32))
-        out = jax.device_get(pallas_gram(a, lane_tile=T))
-        ok = bool(abs(float(out[0, 0, 0]) - n) < 1e-3)
-    except Exception:  # Mosaic rejection, remote-compile 500, OOM, ...
-        ok = False
+    # The axon remote-compile POOL has mixed-health workers: the identical
+    # kernel+shape compiles on some and returns HTTP 500 ("Mosaic failed
+    # to legalize") on others, per-call (measured 2026-08-18: same
+    # pallas_call alternating OK/FAIL across fresh processes and ports).
+    # Retry a couple of times so a healthy worker can answer.
+    ok = False
+    for _ in range(3):
+        try:
+            a = jnp.asarray(np.ones((T, m, n), np.float32))
+            out = jax.device_get(pallas_gram(a, lane_tile=T))
+            ok = bool(abs(float(out[0, 0, 0]) - n) < 1e-3)
+        except Exception:  # Mosaic rejection, remote-compile 500, OOM, ...
+            ok = False
+        if ok:
+            break
     _PROBE_CACHE[key] = ok
     return ok
 
