@@ -520,6 +520,14 @@ struct ExactCoverCtx {
     std::vector<double> u;
     std::vector<double> redc;
     std::vector<std::pair<int32_t, double>> ulog;
+    // --- sibling-exclusion branching ---
+    // Branching on row r's candidates i_1..i_k partitions the covers by
+    // the LOWEST-tried candidate that covers r: inside branch i_t no cover
+    // needs i_1..i_{t-1} (any such cover lives in an earlier branch), so
+    // they are banned for the whole subtree.  Bans compose down the tree
+    // and also sharpen the dual ascent: a banned column's slack no longer
+    // caps its rows' multipliers.
+    std::vector<uint8_t> banned;
 };
 
 // apply u[r] += d and redc[by_row[r]] -= d, logged for undo.  Two uses:
@@ -536,8 +544,8 @@ inline void dual_apply(ExactCoverCtx& ctx, int32_t r, double d) {
 }
 
 double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
-                   double lb_u) {
-    for (int sweep = 0; sweep < 2; ++sweep) {
+                   double lb_u, int max_sweeps = 2) {
+    for (int sweep = 0; sweep < max_sweeps; ++sweep) {
         double gained = 0.0;
         for (int64_t w = 0; w < ctx.nwords; ++w) {
             uint64_t miss = ctx.full[w] & ~cov[static_cast<size_t>(w)];
@@ -548,10 +556,12 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                 const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
                 double d = 1e300;
                 for (int32_t i : cand) {
+                    if (ctx.banned[static_cast<size_t>(i)]) continue;
                     const double rcij = ctx.redc[static_cast<size_t>(i)];
                     if (rcij < d) d = rcij;
                 }
-                if (d > 1e-12 && d < 1e300) {
+                if (d >= 1e300) return 1e300;  // row uncoverable here: prune
+                if (d > 1e-12) {
                     dual_apply(ctx, r, d);
                     lb_u += d;
                     gained += d;
@@ -606,24 +616,42 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // greedy dual ascent on the uncovered rows: feasible-u mass is a
         // per-node-adaptive Lagrangian bound (undone on backtrack)
         lb_u = ascend_pass(ctx, cov, lb_u);
-        if (cost + lb_u - ctx.dual_eps > ctx.budget + 1e-9) {
+        if (lb_u >= 1e299 ||
+            cost + lb_u - ctx.dual_eps > ctx.budget + 1e-9) {
             ascend_undo(ctx, umark);
             return false;
         }
     }
+    // Sibling-exclusion branching: the branches at this node partition the
+    // qualifying completions by the first TRIED candidate they contain, so
+    // a candidate whose branch was refuted — or skipped by a "no
+    // qualifying completion contains i" Lagrangian argument — is banned
+    // for the remaining siblings' subtrees (released on exit).  Bans also
+    // feed the ascent: a banned column's slack no longer caps its rows'
+    // multipliers, so sibling bounds tighten as the loop advances.
+    std::vector<int32_t> bans_here;
+    bool found = false;
     for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r_pick)]) {
+        if (ctx.banned[static_cast<size_t>(i)]) continue;
         if (cost + ctx.costs[i] > ctx.budget + 1e-9) break;  // cost-sorted
         // picking i leaves uncovered U' with dual weight >= lb_dual -
-        // (y-coverage of i) and the completion pays rc_i on top, so the
-        // child bound is >= cost + lb_dual + rc_i: skip without recursing
-        if (cost + lb_dual + ctx.rc[i] > ctx.budget + ctx.dual_eps) continue;
+        // (y-coverage of i) and the completion pays rc_i on top, so ANY
+        // qualifying completion containing i costs > budget: ban it
+        if (cost + lb_dual + ctx.rc[i] > ctx.budget + ctx.dual_eps) {
+            ctx.banned[static_cast<size_t>(i)] = 1;
+            bans_here.push_back(i);
+            continue;
+        }
         // dynamic variant with the ascended multipliers: the completion
         // through i pays its (conservatively tracked) reduced cost on top
         // of the uncovered u-mass
         if (ctx.ascend &&
             cost + lb_u + ctx.redc[static_cast<size_t>(i)] >
-                ctx.budget + ctx.dual_eps)
+                ctx.budget + ctx.dual_eps) {
+            ctx.banned[static_cast<size_t>(i)] = 1;
+            bans_here.push_back(i);
             continue;
+        }
         std::vector<uint64_t> cov2(cov);
         for (int64_t w = 0; w < ctx.nwords; ++w)
             cov2[static_cast<size_t>(w)] |=
@@ -646,13 +674,28 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             }
         }
         ctx.chosen.push_back(i);
-        if (exact_cover_dfs(ctx, cov2, cost + ctx.costs[i])) return true;
+        if (exact_cover_dfs(ctx, cov2, cost + ctx.costs[i])) {
+            found = true;
+            break;
+        }
         ctx.chosen.pop_back();
         ascend_undo(ctx, cmark);
-        if (ctx.timed_out) { ascend_undo(ctx, umark); return false; }
+        if (ctx.timed_out) break;
+        // branch refuted: no qualifying completion contains i
+        ctx.banned[static_cast<size_t>(i)] = 1;
+        bans_here.push_back(i);
+        // the ban may tighten this node's own bound: re-ascend cheaply
+        // and re-check before the next sibling
+        if (ctx.ascend) {
+            lb_u = ascend_pass(ctx, cov, lb_u, 1);
+            if (lb_u >= 1e299 ||
+                cost + lb_u - ctx.dual_eps > ctx.budget + 1e-9)
+                break;
+        }
     }
+    for (int32_t i : bans_here) ctx.banned[static_cast<size_t>(i)] = 0;
     ascend_undo(ctx, umark);
-    return false;
+    return found;
 }
 
 }  // namespace
@@ -776,6 +819,7 @@ extern "C" int sypha_exact_cover(
     ctx.dualw = dualw.data();
     ctx.rc = rcv.data();
     ctx.ascend = ascend;
+    ctx.banned.assign(k, 0);
     if (ascend) {
         ctx.u = std::move(u0);
         ctx.redc = std::move(redc0);
@@ -787,7 +831,75 @@ extern "C" int sypha_exact_cover(
                    std::chrono::duration_cast<std::chrono::steady_clock::duration>(
                        std::chrono::duration<double>(deadline_sec));
     std::vector<uint64_t> cov(static_cast<size_t>(nwords), 0);
+    if (ascend) {
+        // Iterated probe-budget reduced-cost filtering.  Ascend u at the
+        // root to saturation and drop every column whose Lagrangian
+        // completion bound already exceeds the budget: for any cover x
+        // whose columns all satisfy redc_i >= 0,
+        //   c(x) >= sum_r u_r + redc_i   for every i in x,
+        // so a column with sum(u) + redc_i > budget is in NO cover of cost
+        // <= budget and can be removed from every candidate list.  Removal
+        // makes the NEXT ascent strictly stronger (minima over fewer
+        // slacks), so iterate to a fixpoint.  Root mass above the budget,
+        // or a row left with no candidates, refutes the probe outright.
+        // This is the probe-budget analogue of the driver's
+        // incumbent-budget reduced-cost fixing, applied inside the engine
+        // where it also sharpens every in-tree ascent and shrinks every
+        // DFS candidate loop.
+        const bool ec_stats = std::getenv("SYPHA_EC_STATS") != nullptr;
+        std::vector<uint8_t> dead(k, 0);
+        for (int round = 0; round < 32; ++round) {
+            double lb_u = 0.0;
+            for (int64_t r = 0; r < nrows; ++r)
+                lb_u += ctx.u[static_cast<size_t>(r)];
+            lb_u = ascend_pass(ctx, cov, lb_u, 16);
+            if (lb_u - ctx.dual_eps > budget + 1e-9) return 0;  // refuted
+            int dropped = 0;
+            if (ec_stats)
+                std::fprintf(stderr, "[ec] round %d lb_u=%.6f\n", round, lb_u);
+            for (size_t i = 0; i < k; ++i) {
+                if (dead[i]) continue;
+                if (lb_u + ctx.redc[i] - ctx.dual_eps > budget + 1e-9) {
+                    dead[i] = 1;
+                    ++dropped;
+                }
+            }
+            if (ec_stats)
+                std::fprintf(stderr, "[ec] round %d dropped=%d\n", round, dropped);
+            if (dropped == 0) break;
+            for (int64_t r = 0; r < nrows; ++r) {
+                auto& lst = by_row[static_cast<size_t>(r)];
+                lst.erase(std::remove_if(lst.begin(), lst.end(),
+                                         [&](int32_t i) {
+                                             return dead[static_cast<size_t>(i)] != 0;
+                                         }),
+                          lst.end());
+                if (lst.empty()) return 0;  // row uncoverable within budget
+            }
+        }
+        // the filtered lists change the per-row branching/bound statistics
+        for (int64_t r = 0; r < nrows; ++r) {
+            double sp = 1e300, mn = 1e300;
+            for (int32_t i : by_row[static_cast<size_t>(r)]) {
+                const int32_t j = act[static_cast<size_t>(i)];
+                const int64_t deg = col_ptr[j + 1] - col_ptr[j];
+                const double s = c[static_cast<size_t>(i)] /
+                                 static_cast<double>(deg > 0 ? deg : 1);
+                if (s < sp) sp = s;
+                if (c[static_cast<size_t>(i)] < mn) mn = c[static_cast<size_t>(i)];
+            }
+            spread[static_cast<size_t>(r)] = sp;
+            row_min[static_cast<size_t>(r)] = mn;
+            n_cands[static_cast<size_t>(r)] =
+                static_cast<int32_t>(by_row[static_cast<size_t>(r)].size());
+        }
+        // the ascended u is the DFS root baseline, never undone
+        ctx.ulog.clear();
+    }
     const bool found = exact_cover_dfs(ctx, cov, 0.0);
+    if (std::getenv("SYPHA_EC_STATS") != nullptr)
+        std::fprintf(stderr, "[ec] dfs calls=%lld\n",
+                     static_cast<long long>(ctx.calls));
     if (found) {
         std::fill(out_sel, out_sel + ncols, 0);
         for (int32_t i : ctx.chosen) out_sel[act[static_cast<size_t>(i)]] = 1;

@@ -1388,6 +1388,55 @@ def branch_and_bound(
                     if _closure_inconclusive is not None
                     else 0
                 )
+                # pincer: the bottom-up ladder stalled below incumbent-1.
+                # Spend an equal slice probing TOP-DOWN at incumbent-1 —
+                # REFUTED closes the search outright (incumbent optimal),
+                # FOUND improves the incumbent; the goal-directed find is
+                # often far easier than the stalled mid-ladder refutation
+                # (scpnre3: find 27 in 49 s while refute 26 needs > 120 s).
+                st0 = _closure_inconclusive
+                find_stale = (
+                    st0 is None
+                    or st0.get("find_obj") != best_obj
+                    or st0.get("find_budget", 0.0) < session_budget - 1e-9
+                )
+                find_budget_used = (
+                    st0.get("find_budget", 0.0) if st0 is not None else 0.0
+                )
+                if (
+                    probe < best_obj - 1.0 - px_tol
+                    and find_stale
+                    and not time_up()
+                ):
+                    fslice = host_budget(session_budget)
+                    if fslice > 1.0:
+                        fv, fx = exact_small_cover(
+                            base,
+                            best_obj - 1.0 + int_tol,
+                            time_limit_sec=fslice,
+                            duals=seed_y,
+                        )
+                        find_budget_used = max(find_budget_used, fslice)
+                        if fv is False:
+                            log.info(
+                                f"Top-down face probe refuted every cost <= "
+                                f"{best_obj - 1.0:.6g} among {base.n_active} "
+                                f"active columns — incumbent is optimal"
+                            )
+                            lift_bound_to(best_obj)
+                            frontier.clear()
+                            numerical_failures.clear()
+                            return True
+                        if fv is True:
+                            obj_f = float(base.costs @ (fx > 0.5))
+                            log.info(
+                                f"Top-down face probe found an improving "
+                                f"cover: {obj_f:.12g}"
+                            )
+                            adopt(fx, "exact_face_enumeration", obj_f)
+                            prune_frontier()
+                            reduce_by_incumbent()
+                            continue  # face changed: restart the outer loop
                 log.debug(
                     f"Face probing inconclusive at {base.n_active} active "
                     f"cols, probe {probe:.6g} ({session_budget:.0f}s session)"
@@ -1400,6 +1449,8 @@ def branch_and_bound(
                     budget=session_budget,
                     probe=probe,
                     glb_end=global_lower,
+                    find_obj=best_obj,
+                    find_budget=find_budget_used,
                 )
                 return False
         return False

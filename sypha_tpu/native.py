@@ -15,6 +15,7 @@ import ctypes
 import os
 import subprocess
 import threading
+import time
 from typing import Optional
 
 import numpy as np
@@ -279,6 +280,21 @@ def exact_cover(model, budget: float, deadline_sec: float, duals=None):
         )
         if len(y) < ar.nrows:
             y = np.concatenate([y, np.zeros(ar.nrows - len(y))])
+    dump_dir = os.environ.get("SYPHA_TPU_DUMP_FACES")
+    if dump_dir:
+        # offline-tuning hook: persist the exact native-call inputs so the
+        # DFS engine can be benchmarked/iterated on without re-running the
+        # whole MILP search that produced this face
+        os.makedirs(dump_dir, exist_ok=True)
+        tag = f"face_{int(time.monotonic_ns())}"
+        np.savez_compressed(
+            os.path.join(dump_dir, tag),
+            masks=ar.masks, costs=ar.costs, active=active,
+            col_ptr=ar.col_ptr, col_idx=ar.col_idx,
+            nrows=np.int64(ar.nrows), nwords=np.int64(ar.nwords),
+            budget=np.float64(budget), deadline=np.float64(deadline_sec),
+            duals=y,
+        )
     rc = lib.sypha_exact_cover(
         ar.masks, ctypes.c_int64(ar.nwords), ar.costs, active,
         ctypes.c_int64(ar.ncols), ar.col_ptr, ar.col_idx,

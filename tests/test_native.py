@@ -89,3 +89,66 @@ def test_native_budget_pruning_matches_python(lib_available, data_dir):
         rp = presolve.incumbent_budget_pruning(mp, inc, 1e-12, None)
     assert rn == rp, (rn, rp)
     np.testing.assert_array_equal(mn.active, mp.active)
+
+
+def test_native_exact_cover_stress_vs_python_oracle(lib_available):
+    """Sibling-exclusion branching + probe-budget root filtering in the
+    native DFS must not change verdicts: on instances large enough for the
+    machinery to engage (the tiny brute-force tests never ban a column),
+    native find/refute must agree with the plain Python DFS oracle at the
+    exact optimum boundary, with LP duals armed and columns masked."""
+    from scipy.optimize import linprog
+
+    from sypha_tpu.milp.presolve import exact_small_cover
+
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        nrows, ncols = 14, 36
+        rows = []
+        for i in range(nrows):
+            k = int(rng.integers(2, 7))
+            rows.append(
+                np.sort(rng.choice(ncols, size=k, replace=False)).astype(np.int32)
+            )
+        m = ScpModel(
+            nrows=nrows, ncols=ncols,
+            costs=rng.integers(1, 20, ncols).astype(np.float64),
+            rows=rows, name=f"s{trial}",
+        )
+        base = BaseModel(m)
+        # mask a random late slice (the closure operates on masked models)
+        masked = rng.choice(ncols, size=ncols // 5, replace=False)
+        base.active[masked] = False
+        A, rhs = base.rel_csr()
+        cols = np.flatnonzero(base.active)
+        lp = linprog(
+            base.costs[cols], A_ub=-A[:, cols].toarray(), b_ub=-rhs,
+            bounds=(0, 1), method="highs",
+        )
+        if lp.status != 0:
+            continue  # masked model infeasible: nothing to compare
+        y = np.maximum(0.0, -np.asarray(lp.ineqlin.marginals))
+        # exact optimum from the Python oracle (trusted: brute-force
+        # validated in test_presolve), via descending budget probing
+        with _python_only():
+            v, x = exact_small_cover(base, 1e9, time_limit_sec=30.0)
+        assert v is True
+        best = float(base.costs @ (x > 0.5))
+        while True:
+            with _python_only():
+                v, x2 = exact_small_cover(
+                    base, best - 1.0 + 1e-9, time_limit_sec=30.0
+                )
+            if v is not True:
+                break
+            best = float(base.costs @ (x2 > 0.5))
+        assert v is False
+        for budget, expect in ((best - 1.0 + 1e-9, False), (best + 1e-9, True)):
+            verdict, xs = exact_small_cover(
+                base, budget, time_limit_sec=30.0, duals=y
+            )
+            assert verdict is expect, (trial, budget, best, verdict)
+            if expect:
+                assert base.is_cover(xs)
+                assert float(base.costs @ (xs > 0.5)) <= budget + 1e-6
+                assert not np.any(xs[masked] > 0.5)
