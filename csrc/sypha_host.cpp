@@ -502,6 +502,17 @@ struct ExactCoverCtx {
     const double* rc;
     double budget;
     double dual_eps;           // scale-aware slack for the dual-bound prunes
+    // Integral-cost bound rounding: when every active cost is integral,
+    // every completion's remaining cost is integral, so any fractional
+    // lower bound lb on it tightens to ceil(lb - eps) — the in-DFS
+    // analogue of the driver's ceil dual-bound tightening
+    // (tighten_dual_bound; reference src/sypha_solver_bnb.cpp:398-403).
+    // On plateau probes (slack a few units, bounds fractional) this
+    // prunes a large constant fraction of every level.
+    bool costs_integral = false;
+    inline double lbr(double lb) const {
+        return costs_integral ? std::ceil(lb - dual_eps) : lb;
+    }
     std::chrono::steady_clock::time_point deadline;
     int64_t calls = 0;
     std::vector<int32_t> chosen;
@@ -593,8 +604,10 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     double lb_spread = 0.0, lb_max = 0.0, lb_dual = 0.0, lb_u = 0.0;
     int32_t r_pick = -1;
     int32_t pick_c = INT32_MAX;
+    int32_t n_unc = 0;
     for (int64_t w = 0; w < ctx.nwords; ++w) {
         uint64_t miss = ctx.full[w] & ~cov[static_cast<size_t>(w)];
+        n_unc += __builtin_popcountll(miss);
         while (miss) {
             const int bit = __builtin_ctzll(miss);
             const int32_t rr = static_cast<int32_t>((w << 6) + bit);
@@ -610,14 +623,14 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     double lb = lb_spread > lb_max ? lb_spread : lb_max;
     if (lb_dual - ctx.dual_eps > lb) lb = lb_dual - ctx.dual_eps;
     if (ctx.ascend && lb_u - ctx.dual_eps > lb) lb = lb_u - ctx.dual_eps;
-    if (cost + lb > ctx.budget + 1e-9) return false;
+    if (cost + ctx.lbr(lb) > ctx.budget + 1e-9) return false;
     const size_t umark = ctx.ulog.size();
     if (ctx.ascend) {
         // greedy dual ascent on the uncovered rows: feasible-u mass is a
         // per-node-adaptive Lagrangian bound (undone on backtrack)
         lb_u = ascend_pass(ctx, cov, lb_u);
         if (lb_u >= 1e299 ||
-            cost + lb_u - ctx.dual_eps > ctx.budget + 1e-9) {
+            cost + ctx.lbr(lb_u) > ctx.budget + 1e-9) {
             ascend_undo(ctx, umark);
             return false;
         }
@@ -631,13 +644,54 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     // multipliers, so sibling bounds tighten as the loop advances.
     std::vector<int32_t> bans_here;
     bool found = false;
+    // Dominance banning on the branch row's candidates, restricted to the
+    // UNCOVERED set: if a non-banned candidate j with c_j <= c_i covers a
+    // superset of i's uncovered rows ((mask_i & U & ~mask_j) == 0), any
+    // qualifying completion containing i maps to one containing j of <=
+    // cost (swap i -> j; rows outside U are covered by the chosen set
+    // already) — the same completion-preserving argument as the other
+    // bans, so i is banned for this whole node.  Deep in the tree U
+    // shrinks and candidates collapse onto each other, so this fires
+    // hardest exactly where the plain tree explodes.  Only candidates of
+    // the branch row can dominate (a dominator must cover r_pick in U),
+    // so the pairwise check over by_row[r_pick] loses nothing.  Candidate
+    // lists are cost-sorted: compare each i against earlier non-banned j
+    // only (ties broken toward the earlier index).  Gated to small
+    // uncovered sets: on wide-open nodes random coverage supersets are
+    // vanishingly rare (measured 0 bans on scpnre probes) and the pairwise
+    // scan is pure overhead.
+    if (n_unc <= 64) {
+        const auto& cand = (*ctx.by_row)[static_cast<size_t>(r_pick)];
+        const size_t kc = cand.size();
+        for (size_t a = 1; a < kc; ++a) {
+            const int32_t i = cand[a];
+            if (ctx.banned[static_cast<size_t>(i)]) continue;
+            const uint64_t* mi = ctx.masks + static_cast<size_t>(i) * ctx.nwords;
+            for (size_t bidx = 0; bidx < a; ++bidx) {
+                const int32_t j = cand[bidx];
+                if (ctx.banned[static_cast<size_t>(j)]) continue;
+                const uint64_t* mj = ctx.masks + static_cast<size_t>(j) * ctx.nwords;
+                bool subset = true;
+                for (int64_t w = 0; w < ctx.nwords; ++w) {
+                    const uint64_t u =
+                        ctx.full[w] & ~cov[static_cast<size_t>(w)];
+                    if (mi[w] & u & ~mj[w]) { subset = false; break; }
+                }
+                if (subset) {
+                    ctx.banned[static_cast<size_t>(i)] = 1;
+                    bans_here.push_back(i);
+                    break;
+                }
+            }
+        }
+    }
     for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r_pick)]) {
         if (ctx.banned[static_cast<size_t>(i)]) continue;
         if (cost + ctx.costs[i] > ctx.budget + 1e-9) break;  // cost-sorted
         // picking i leaves uncovered U' with dual weight >= lb_dual -
         // (y-coverage of i) and the completion pays rc_i on top, so ANY
         // qualifying completion containing i costs > budget: ban it
-        if (cost + lb_dual + ctx.rc[i] > ctx.budget + ctx.dual_eps) {
+        if (cost + ctx.lbr(lb_dual + ctx.rc[i]) > ctx.budget + 1e-9) {
             ctx.banned[static_cast<size_t>(i)] = 1;
             bans_here.push_back(i);
             continue;
@@ -646,8 +700,8 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // through i pays its (conservatively tracked) reduced cost on top
         // of the uncovered u-mass
         if (ctx.ascend &&
-            cost + lb_u + ctx.redc[static_cast<size_t>(i)] >
-                ctx.budget + ctx.dual_eps) {
+            cost + ctx.lbr(lb_u + ctx.redc[static_cast<size_t>(i)]) >
+                ctx.budget + 1e-9) {
             ctx.banned[static_cast<size_t>(i)] = 1;
             bans_here.push_back(i);
             continue;
@@ -689,7 +743,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         if (ctx.ascend) {
             lb_u = ascend_pass(ctx, cov, lb_u, 1);
             if (lb_u >= 1e299 ||
-                cost + lb_u - ctx.dual_eps > ctx.budget + 1e-9)
+                cost + ctx.lbr(lb_u) > ctx.budget + 1e-9)
                 break;
         }
     }
@@ -827,6 +881,13 @@ extern "C" int sypha_exact_cover(
     }
     ctx.budget = budget;
     ctx.dual_eps = 1e-7 * (budget > 1.0 ? budget : 1.0);
+    ctx.costs_integral = true;
+    for (size_t i = 0; i < k; ++i) {
+        if (std::fabs(c[i] - std::round(c[i])) > 1e-9) {
+            ctx.costs_integral = false;
+            break;
+        }
+    }
     ctx.deadline = std::chrono::steady_clock::now() +
                    std::chrono::duration_cast<std::chrono::steady_clock::duration>(
                        std::chrono::duration<double>(deadline_sec));
@@ -853,13 +914,13 @@ extern "C" int sypha_exact_cover(
             for (int64_t r = 0; r < nrows; ++r)
                 lb_u += ctx.u[static_cast<size_t>(r)];
             lb_u = ascend_pass(ctx, cov, lb_u, 16);
-            if (lb_u - ctx.dual_eps > budget + 1e-9) return 0;  // refuted
+            if (ctx.lbr(lb_u) > budget + 1e-9) return 0;  // refuted
             int dropped = 0;
             if (ec_stats)
                 std::fprintf(stderr, "[ec] round %d lb_u=%.6f\n", round, lb_u);
             for (size_t i = 0; i < k; ++i) {
                 if (dead[i]) continue;
-                if (lb_u + ctx.redc[i] - ctx.dual_eps > budget + 1e-9) {
+                if (ctx.lbr(lb_u + ctx.redc[i]) > budget + 1e-9) {
                     dead[i] = 1;
                     ++dropped;
                 }

@@ -224,6 +224,29 @@ class BnbOptions:
     # can close 1-3 units, never 25, and each round re-solves the root LP.
     # 0 disables the skip.
     cut_skip_gap: float = 10.0
+    # Compact re-solve: when improving-preserving reductions (incumbent
+    # cutoff, budget pruning, dominance, reduced-cost fixing) collapse the
+    # active set enough that the compacted standard form lands in a padded
+    # bucket <= compact_frac x the current one, rebase: build a compacted
+    # model over (active + incumbent-support) columns and delegate the
+    # remaining search to a recursive branch_and_bound on it.  Node LPs
+    # then run at the small bucket's throughput (scpnre1: 401/5000 columns
+    # active after root rc-fixing, ~13x fewer GEMM FLOPs per window).  The
+    # reference's counterpart is physical column removal + remap
+    # (rebuildCsrAfterRemoval, src/sypha_node_sparse.cpp:224-282), which
+    # the shape-static TPU design replaced with masking; the rebase pays
+    # one extra XLA compile (reported in compile_time_sec) to stop paying
+    # the masked width every window.
+    compact_resolve: bool = True
+    compact_frac: float = 0.5
+    # Device operator for the node-LP base matrix: "auto" picks the
+    # padded-ELL sparse operator below node_ell_density (measured crossover
+    # ~5%: scpnrg-class sparse 1.35x faster + 16x less memory, scpnre-class
+    # 10% dense 3.4x faster — benchmark/results/ell_vs_dense.csv), matching
+    # the reference's size-driven linear-solver auto pick
+    # (src/sypha_solver.cpp:291-316).  "dense"/"ell" force a side.
+    node_operator: str = "auto"
+    node_ell_density: float = 0.05
 
     def replace(self, **kw) -> "BnbOptions":
         return dataclasses.replace(self, **kw)

@@ -105,6 +105,49 @@ def pad_lp(
     )
 
 
+def pad_standard_form_ell(
+    row_data,
+    rhs: np.ndarray,
+    costs: np.ndarray,
+    n_struct: int,
+    m_pad: int,
+    n_pad: int,
+) -> PaddedLp:
+    """Sparse (padded-ELL) counterpart of pad_standard_form.
+
+    ``row_data``: per row, (structural column indices, values); each row i
+    implicitly gains its surplus column n_struct + i with -1 (same standard
+    form the reference reader emits, src/model_reader.cpp:146-157).
+    ``costs``: structural costs [n_struct] — surplus columns get cost 0,
+    pad columns cost 1 (same conventions as pad_standard_form).  The dense
+    [m_pad, n_pad] f64 matrix never exists; every product on the returned
+    LP is matrix-free through ops.ell.EllMatrix.
+    """
+    from sypha_tpu.ops.ell import ell_from_rows
+
+    m = len(row_data)
+    n = n_struct + m
+    if m_pad < m or n_pad < n:
+        raise ValueError(f"padded dims ({m_pad},{n_pad}) smaller than real ({m},{n})")
+    A = ell_from_rows(row_data, n_struct=n_struct, m_pad=m_pad, n_pad=n_pad)
+    bp = np.zeros(m_pad, dtype=np.float64)
+    bp[:m] = rhs
+    cp = np.ones(n_pad, dtype=np.float64)
+    cp[:n_struct] = costs
+    cp[n_struct:n] = 0.0
+    row_pad = np.zeros(m_pad, dtype=np.float64)
+    row_pad[m:] = 1.0
+    return PaddedLp(
+        A=A,
+        b=jnp.asarray(bp),
+        c=jnp.asarray(cp),
+        row_pad=jnp.asarray(row_pad),
+        m_real=jnp.asarray(m, dtype=jnp.int32),
+        n_real=jnp.asarray(n, dtype=jnp.int32),
+        n_struct=jnp.asarray(n_struct, dtype=jnp.int32),
+    )
+
+
 def stack_lps(lps: Sequence[PaddedLp]) -> PaddedLp:
     """Stack same-bucket PaddedLps into one batched PaddedLp with leading [B]."""
     shapes = {(lp.m_pad, lp.n_pad) for lp in lps}

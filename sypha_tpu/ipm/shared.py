@@ -92,13 +92,19 @@ def _A_products(A):
 
 
 def make_shared_batch(lp: PaddedLp, n_lanes: int) -> SharedLpBatch:
-    """Replicate a single PaddedLp into a SharedLpBatch of ``n_lanes``."""
-    if lp.A.ndim != 2:
+    """Replicate a single PaddedLp into a SharedLpBatch of ``n_lanes``.
+
+    ``lp.A`` may be a dense [m, n] array or an ops.ell.EllMatrix (built by
+    io.standard_form.pad_standard_form_ell) — the batch carries the sparse
+    operator through unchanged and every product stays matrix-free."""
+    from sypha_tpu.ops.ell import EllMatrix
+
+    if not isinstance(lp.A, EllMatrix) and lp.A.ndim != 2:
         raise ValueError("make_shared_batch expects an unbatched PaddedLp")
     B = n_lanes
     n = lp.n_pad
     mask = jnp.broadcast_to(
-        (jnp.arange(n) < lp.n_real).astype(lp.A.dtype), (B, n)
+        (jnp.arange(n) < lp.n_real).astype(lp.c.dtype), (B, n)
     )
     return SharedLpBatch(
         A=lp.A,

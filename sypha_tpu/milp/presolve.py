@@ -472,6 +472,12 @@ def exact_small_cover(
     neg_rc = min(0.0, rc_d.min()) if k else 0.0
     dualw = y_d + neg_rc
     dual_eps = 1e-7 * max(1.0, abs(budget))
+    # integral costs => integral completion remainders => every fractional
+    # lower bound tightens to its ceil (mirror of the native engine's lbr)
+    costs_integral = bool(np.all(np.abs(costs - np.round(costs)) <= 1e-9))
+
+    def lbr(v: float) -> float:
+        return np.ceil(v - dual_eps) if costs_integral else v
 
     def scan(cov):
         """One pass over the uncovered rows: (branch row = the row with
@@ -506,13 +512,13 @@ def exact_small_cover(
         if r < 0:
             best = list(chosen)
             return True
-        if cost + lb > budget + 1e-9:
+        if cost + lbr(lb) > budget + 1e-9:
             return False
         for i in by_row[r]:
             if cost + costs[i] > budget + 1e-9:
                 break  # sorted by cost: nothing cheaper follows
             # child bound >= cost + lb_dual + rc_i: skip without recursing
-            if cost + lb_dual + rc_d[i] > budget + dual_eps:
+            if cost + lbr(lb_dual + rc_d[i]) > budget + 1e-9:
                 continue
             chosen.append(i)
             if dfs(cov | masks[i], cost + costs[i]):

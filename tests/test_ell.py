@@ -203,3 +203,63 @@ def test_ell_column_slabs_products():
             np.asarray(slab.todense()), Ap[:, j * nl:(j + 1) * nl], atol=1e-15
         )
     np.testing.assert_allclose(Av_sum, v @ Ap.T, atol=1e-12)
+
+
+def test_node_solver_ell_parity_scp41(data_dir):
+    """The production node solver on the padded-ELL operator returns the
+    same root LP as the dense operator (VERDICT r2 item 3: production ELL
+    wiring)."""
+    from sypha_tpu.config import SolverConfig
+    from sypha_tpu.milp.base_model import BaseModel, BranchNode
+    from sypha_tpu.milp.bnb import _NodeLpSolver
+    from sypha_tpu.utils.logging import Logger
+
+    model = read_scp_file(str(data_dir / "scp41.txt"))
+    base = BaseModel(model)
+    log = Logger(verbosity=0)
+    ipm = SolverConfig().ipm.replace(newton_max_steps=48)
+    res = {}
+    for op in ("dense", "ell"):
+        cfg = SolverConfig().replace(
+            bnb=SolverConfig().bnb.replace(node_operator=op, precompile=False)
+        )
+        solver = _NodeLpSolver(base, cfg, log)
+        res[op] = solver.solve_nodes([BranchNode()], ipm)[0]
+        assert res[op]["status"] == IpmStatus.CONVERGED
+        assert solver._use_ell == (op == "ell")
+    np.testing.assert_allclose(res["ell"]["pobj"], res["dense"]["pobj"], rtol=1e-7)
+    np.testing.assert_allclose(res["ell"]["pobj"], 429.0, rtol=1e-6)
+
+
+def test_bnb_ell_operator_matches_scipy():
+    """Full B&B on the sparse node operator proves the same optimum as
+    scipy's MILP on random instances (branch fixings + cuts ride the
+    EllMatrix path end to end)."""
+    from sypha_tpu.config import SolverConfig
+    from sypha_tpu.core.problem import ScpModel
+    from sypha_tpu.core.status import MilpStatus
+    from sypha_tpu.milp.bnb import branch_and_bound
+    from tests.test_milp import scipy_milp_optimum
+
+    rng = np.random.default_rng(11)
+    for trial in range(2):
+        nrows, ncols = 8, 16
+        rows = [
+            np.sort(
+                rng.choice(ncols, size=rng.integers(2, 5), replace=False)
+            ).astype(np.int32)
+            for _ in range(nrows)
+        ]
+        m = ScpModel(
+            nrows=nrows,
+            ncols=ncols,
+            costs=rng.integers(1, 12, ncols).astype(np.float64),
+            rows=rows,
+            name=f"rand_ell{trial}",
+        )
+        expected = scipy_milp_optimum(m)
+        cfg = SolverConfig(verbosity=0)
+        cfg = cfg.replace(bnb=cfg.bnb.replace(node_operator="ell"))
+        r = branch_and_bound(m, cfg)
+        assert r.status == MilpStatus.OPTIMAL, (trial, r)
+        assert abs(r.objective - expected) < 1e-9, (trial, r.objective, expected)

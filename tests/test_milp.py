@@ -368,3 +368,90 @@ def test_node_lp_bucket_stable_under_cut_growth():
     solver._rebuild_device_base()
     assert solver._bucket == bucket0, (solver._bucket, bucket0)
     assert solver.room_for_cuts() == 0
+
+
+def test_compact_scp_mapping():
+    """_compact_scp keeps exactly the kept columns, remaps row lists, and
+    solutions of the compact model map back to covers of the original."""
+    from sypha_tpu.milp.bnb import _compact_scp
+
+    m = parse_scp_text(TINY, name="tiny")
+    base = BaseModel(m)
+    keep = np.array([True, False, True, True])
+    cm, cols = _compact_scp(base, keep, "tiny@c")
+    assert cm.ncols == 3 and list(cols) == [0, 2, 3]
+    np.testing.assert_allclose(cm.costs, m.costs[[0, 2, 3]])
+    # original 0-based rows [0,1],[1,2],[0,2,3]; dropping col 1 and
+    # remapping {0->0, 2->1, 3->2} gives [0],[1],[0,1,2]
+    assert [list(r) for r in cm.rows] == [[0], [1], [0, 1, 2]]
+    # a compact cover maps back to an original cover
+    x_c = np.array([1.0, 1.0, 0.0])
+    x = np.zeros(m.ncols)
+    x[cols[np.flatnonzero(x_c > 0.5)]] = 1.0
+    assert base.is_cover(x)
+
+
+def test_compact_resolve_end_to_end(monkeypatch):
+    """When the active set collapses but the exact closure cannot finish,
+    the driver rebases to a compact model and the delegated search carries
+    a globally valid OPTIMAL proof back."""
+    from sypha_tpu.core.problem import ScpModel
+    from sypha_tpu.milp import bnb as bnb_mod
+    from sypha_tpu.milp import presolve as presolve_mod
+
+    # two disjoint odd 7-cycles (LP = 7, IP = 8) + expensive fillers that
+    # reduced-cost fixing masks, shrinking the padded bucket > 2x
+    rng = np.random.default_rng(3)
+    ncyc, L = 2, 7
+    rows = []
+    costs = []
+    col = 0
+    cheap_cols = []
+    for c in range(ncyc):
+        base_col = col
+        for i in range(L):
+            rows.append(
+                np.sort(
+                    np.array(
+                        [base_col + i, base_col + (i + 1) % L], dtype=np.int32
+                    )
+                )
+            )
+        col += L
+        cheap_cols += list(range(base_col, base_col + L))
+        costs += [1.0] * L
+    n_fill = 600
+    nrows = len(rows)
+    for j in range(n_fill):
+        r = rng.integers(0, nrows)
+        rows[r] = np.sort(np.append(rows[r], col)).astype(np.int32)
+        costs.append(50.0)
+        col += 1
+    m = ScpModel(
+        nrows=nrows, ncols=col, costs=np.asarray(costs), rows=rows,
+        name="cyc2x7",
+    )
+    expected = scipy_milp_optimum(m)  # 8 = 2 * ceil(7/2) ... per cycle 4
+    # force the exact closure to be useless so only the compact re-solve's
+    # delegated tree can close the gap; the OUTER run keeps it disabled,
+    # the inner (compact) run gets the real engine back
+    real = presolve_mod.exact_small_cover
+    state = {"depth": 0}
+    orig_bnb = bnb_mod.branch_and_bound
+
+    def fake_exact(*a, **k):
+        if state["depth"] == 0:
+            return None, None
+        return real(*a, **k)
+
+    def wrapped_bnb(*a, **k):
+        state["depth"] = max(state["depth"], k.get("_compact_depth", 0))
+        return orig_bnb(*a, **k)
+
+    monkeypatch.setattr(presolve_mod, "exact_small_cover", fake_exact)
+    monkeypatch.setattr(bnb_mod, "branch_and_bound", wrapped_bnb)
+    r = orig_bnb(m, SolverConfig(verbosity=0))
+    assert state["depth"] >= 1, "compact re-solve did not trigger"
+    assert r.status == MilpStatus.OPTIMAL
+    assert abs(r.objective - expected) < 1e-9
+    assert BaseModel(m).is_cover(r.solution)
