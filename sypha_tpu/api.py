@@ -205,6 +205,7 @@ class Solver:
         self._iterations = 0
         self._nodes = 0
         self._wall_time = 0.0
+        self._compile_time = 0.0
 
     # ---- model building ----
 
@@ -254,6 +255,11 @@ class Solver:
 
     def wall_time(self) -> float:
         return self._wall_time
+
+    def compile_time(self) -> float:
+        """One-time XLA precompile seconds, excluded from the hard time
+        budget (same semantics as MilpResult.compile_time_sec)."""
+        return self._compile_time
 
     def parameters(self) -> SolverParameters:
         return self._params
@@ -418,6 +424,7 @@ class Solver:
         self._iterations = r.total_lp_iterations
         self._nodes = r.nodes_processed
         self._mip_gap = r.mip_gap
+        self._compile_time = r.compile_time_sec
         if r.status in (MilpStatus.NOT_SOLVED, MilpStatus.ABNORMAL) or not np.isfinite(
             r.objective
         ):
@@ -445,7 +452,15 @@ class Solver:
         gap-closure optimality.  Covers API models that are MILP but not
         pure set covering (the reference routes these into its SCP B&B
         unchanged; we keep the LP machinery shared but skip the
-        covering-specific presolve/repair/cuts)."""
+        covering-specific presolve/repair/cuts).
+
+        SCP-driver rigor (VERDICT r2 item 8): lane counts pad to a 2-rung
+        ladder, every executable precompiles BEFORE the clock starts
+        (compile seconds reported via ``compile_time()`` and excluded from
+        the budget, matching MilpResult.compile_time_sec semantics), and
+        node solves dispatch in deadline-bounded iteration chunks exactly
+        like milp.bnb._NodeLpSolver.solve_nodes."""
+        import jax
         import jax.numpy as jnp
 
         from sypha_tpu.io.standard_form import pad_standard_form
@@ -510,10 +525,64 @@ class Solver:
         frontier = [(frozenset(), frozenset(), -np.inf)]
         nodes = 0
         iters = 0
-        t0 = time.monotonic()
         limit = self._params.bnb_hard_time_limit_sec
         gap_tol = 2.0 * cfg.ipm.tol_gap
         hit_limit = False
+        rung_big = max(1, cfg.bnb.node_batch)
+        total_cap = max(2, cfg.ipm.max_iter)
+        sec_per_iter: dict = {}  # per-rung EMA, sizes deadline chunks
+
+        def dispatch_chunked(fix0, fix1, deadline):
+            """Chunked node-batch dispatch with a host deadline check
+            between chunks (mirror of _NodeLpSolver.solve_nodes): the
+            per-lane iteration cap is a traced scalar, so chunking costs
+            no recompiles, and overshoot is ~one chunk."""
+            B = fix0.shape[0]
+            spi = sec_per_iter.get(B)
+            done, resume = 0, None
+            st = x_full = pobj = dobj = None
+            while True:
+                if spi is None:
+                    chunk = max(2, min(total_cap - done, cfg.bnb.iter_chunk))
+                else:
+                    chunk = max(2, min(
+                        total_cap - done,
+                        int(cfg.bnb.iter_chunk_target_sec / max(spi, 1e-6)),
+                    ))
+                t_c = time.monotonic()
+                st, x_full, pobj, dobj = solve_node_batch(
+                    lp, fix0, fix1, cfg.ipm, None, resume,
+                    jnp.asarray(done + chunk, jnp.int32),
+                )
+                status_h = np.asarray(jax.device_get(st.status))
+                dt = (time.monotonic() - t_c) / max(1.0, float(chunk))
+                spi = dt if spi is None else 0.5 * spi + 0.5 * dt
+                sec_per_iter[B] = spi
+                done += chunk
+                resume = st
+                if not np.any(status_h == int(IpmStatus.MAX_ITER)):
+                    break  # every lane terminated for a real reason
+                if done >= total_cap or time.monotonic() >= deadline:
+                    break
+            return st, x_full, pobj, dobj
+
+        # precompile both rungs (cold + resume variants) BEFORE the clock
+        # starts — remote-XLA compiles cost 20-300 s and would otherwise
+        # land inside the hard time budget
+        t_c0 = time.monotonic()
+        for B in sorted({1, rung_big}):
+            z = jnp.zeros((B, np_))
+            st0, *_ = solve_node_batch(
+                lp, z, z, cfg.ipm, None, None, jnp.asarray(1, jnp.int32)
+            )
+            jax.device_get(st0.status)
+            st1, *_ = solve_node_batch(
+                lp, z, z, cfg.ipm, None, st0, jnp.asarray(2, jnp.int32)
+            )
+            jax.device_get(st1.status)
+        self._compile_time = time.monotonic() - t_c0
+
+        t0 = time.monotonic()
 
         def open_lower():
             return min([pb for _, _, pb in frontier], default=np.inf)
@@ -537,21 +606,27 @@ class Solver:
             batch = [nd for nd in batch if nd[2] < best - 1e-9]
             if not batch:
                 continue
-            B = len(batch)
+            # pad the lane count to the 2-rung ladder by replicating the
+            # last node so the whole search reuses 2 compiled executables
+            B_real = len(batch)
+            B = 1 if B_real == 1 else rung_big
             fix0 = np.zeros((B, np_))
             fix1 = np.zeros((B, np_))
-            for li, (f0, f1, _) in enumerate(batch):
+            for li in range(B):
+                f0, f1, _ = batch[min(li, B_real - 1)]
                 fix0[li, list(f0)] = 1.0
                 fix1[li, list(f1)] = 1.0
-            st, x_full, pobj, dobj = solve_node_batch(
-                lp, jnp.asarray(fix0), jnp.asarray(fix1), cfg.ipm
+            deadline = (
+                t0 + limit if limit > 0 else np.inf
             )
-            import jax
-
+            st, x_full, pobj, dobj = dispatch_chunked(
+                jnp.asarray(fix0), jnp.asarray(fix1), deadline
+            )
             host = jax.device_get(
                 {"status": st.status, "it": st.iterations, "x": x_full,
                  "pobj": pobj, "dobj": dobj, "res_d": st.res_d}
             )
+            batch = batch[:B_real]
             for li, (f0, f1, pb) in enumerate(batch):
                 status = IpmStatus(int(host["status"][li]))
                 iters += int(host["it"][li])

@@ -202,3 +202,42 @@ def test_generic_milp_proves_optimal_with_gap():
     assert abs(s.objective_value() - best) < 1e-6
     # dual bound must cover the optimum (maximize: bound >= objective)
     assert s.dual_objective_value() >= s.objective_value() - 1e-6
+
+
+def test_generic_milp_time_limit_is_hard():
+    """VERDICT r2 item 8: a generic binary model with a 2 s limit returns
+    within ~2.5 s of SOLVE time (compile excluded via compile_time()),
+    FEASIBLE with a finite dual bound.  The instance is a strongly
+    correlated knapsack — exponentially hard for pure B&B, so the limit
+    (not the frontier) ends the search."""
+    import time
+
+    rng = np.random.RandomState(3)
+    n = 60
+    wts = rng.uniform(10.0, 30.0, size=n)
+    vals = wts + 10.0  # strong correlation: the hard knapsack regime
+    cap_val = float(wts.sum() / 2.0)
+
+    s = Solver("hard_knapsack")
+    xs = [s.MakeBoolVar(f"x{j}") for j in range(n)]
+    cap = s.MakeRowConstraint(-s.infinity(), cap_val)
+    for x, w in zip(xs, wts):
+        cap.SetCoefficient(x, float(w))
+    obj = s.MutableObjective()
+    for x, v in zip(xs, vals):
+        obj.SetCoefficient(x, float(v))
+    obj.SetMaximization()
+    s.parameters().bnb_hard_time_limit_sec = 2.0
+
+    t0 = time.monotonic()
+    status = s.Solve()
+    wall = time.monotonic() - t0
+
+    solve_time = wall - s.compile_time()
+    # ~one iteration chunk of overshoot is allowed (chunked dispatches)
+    assert solve_time <= 3.5, (wall, s.compile_time())
+    assert status in (ResultStatus.FEASIBLE, ResultStatus.OPTIMAL), status
+    assert np.isfinite(s.objective_value())
+    assert np.isfinite(s.MutableObjective().BestBound())
+    # the bound must actually bound the incumbent (maximization)
+    assert s.MutableObjective().BestBound() >= s.objective_value() - 1e-6
