@@ -509,7 +509,9 @@ def branch_and_bound(
     mesh=None,
     restrict_active=None,
     warm_incumbent=None,
+    warm_lower=None,
     _compact_depth: int = 0,
+    _pool=None,
 ) -> MilpResult:
     """MILP branch & bound.  ``mesh`` (or cfg.bnb.mesh_devices > 0) runs
     every node window lane-sharded over the device mesh
@@ -522,7 +524,61 @@ def branch_and_bound(
     column subset — used by the core-search phase.  Incumbents found under
     a restriction are globally valid covers; OPTIMAL status and dual bounds
     are only valid WITHIN the restriction (the caller must discard them).
-    ``warm_incumbent`` = (x_struct, objective) seeds the incumbent."""
+    ``warm_incumbent`` = (x_struct, objective) seeds the incumbent.
+    ``warm_lower`` seeds a PROVEN global dual bound (the compact re-solve
+    passes the parent's, so face-probe ladders resume instead of
+    restarting at the child's root LP floor).
+
+    Multi-process protocol: BoundPool.sync is a COLLECTIVE, so every exit
+    path of the top-level call must drain the peers' cadence
+    (pool.finalize) or a peer blocks forever in its next allgather.
+    Recursive calls (compact re-solve, core search) share the caller's
+    pool via ``_pool`` so the once-per-round collective sequence stays
+    matched across processes no matter which phase each host is in."""
+    from sypha_tpu.parallel.distributed import BoundPool
+
+    owner = _pool is None
+    pool = _pool if _pool is not None else BoundPool()
+    if not owner or pool.n_processes <= 1:
+        return _branch_and_bound(
+            model, cfg, log, mesh, restrict_active, warm_incumbent,
+            warm_lower, _compact_depth, pool,
+        )
+    try:
+        res = _branch_and_bound(
+            model, cfg, log, mesh, restrict_active, warm_incumbent,
+            warm_lower, _compact_depth, pool,
+        )
+    except BaseException:
+        # keep answering the peers' collective cadence before propagating
+        # (objective +inf / bound +inf donate nothing; stop_peers=False —
+        # a local crash must not end a healthy peer's search)
+        pool.finalize(np.inf, np.inf, False)
+        raise
+    # a proof of optimality/infeasibility CLOSES the shared search: peers
+    # replicating the same instance should stop.  A local time/node limit
+    # does not (peers may have budget left) — we only donate our final
+    # incumbent/bound until everyone departs.
+    stop_peers = res.status in (MilpStatus.OPTIMAL, MilpStatus.ABNORMAL)
+    pool.finalize(
+        res.objective,
+        res.dual_bound if np.isfinite(res.dual_bound) else np.inf,
+        stop_peers,
+    )
+    return res
+
+
+def _branch_and_bound(
+    model: ScpModel,
+    cfg: Optional[SolverConfig],
+    log: Optional[Logger],
+    mesh,
+    restrict_active,
+    warm_incumbent,
+    warm_lower,
+    _compact_depth: int,
+    pool,
+) -> MilpResult:
     cfg = cfg or SolverConfig()
     log = log or Logger(verbosity=cfg.verbosity)
     t_start = time.monotonic()
@@ -531,9 +587,6 @@ def branch_and_bound(
         from sypha_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(bnb.mesh_devices)
-    from sypha_tpu.parallel.distributed import BoundPool
-
-    pool = BoundPool()
     px_tol = 1e-12
     int_tol = bnb.integrality_tol
     mip_gap_tol = 2.0 * cfg.ipm.tol_gap
@@ -632,6 +685,11 @@ def branch_and_bound(
 
     solver = _NodeLpSolver(base, cfg, log, mesh=mesh)
     root = BranchNode()
+    if warm_lower is not None and np.isfinite(warm_lower):
+        # inherited PROVEN bound (compact re-solve parent): the search
+        # resumes from it instead of re-proving the root LP floor
+        root.parent_dual_bound = max(root.parent_dual_bound, warm_lower)
+        root.parent_dual_bound_raw = max(root.parent_dual_bound_raw, warm_lower)
     # B&B node LPs (mask-heavy lanes, warm starts, reduced models) are much
     # harder on the f32-preconditioned PCG than clean instance batches:
     # give them more PCG headroom than the throughput-tuned LP default
@@ -794,6 +852,8 @@ def branch_and_bound(
                 adopt(lg.solution, lg.name, lg.objective)
         if usable_bound(res):
             root_dual = res["dobj"]
+            if warm_lower is not None and np.isfinite(warm_lower):
+                root_dual = max(root_dual, warm_lower)
             global_lower_raw = min(global_lower_raw, root_dual)
             if obj_is_integral:
                 root_dual = tighten_dual_bound(root_dual, int_tol)
@@ -1018,6 +1078,7 @@ def branch_and_bound(
                     mesh=None,
                     restrict_active=core_mask,
                     warm_incumbent=(best_solution, best_obj),
+                    _pool=pool,
                 )
                 if (
                     np.isfinite(sub.objective)
@@ -1597,7 +1658,11 @@ def branch_and_bound(
                 log,
                 mesh=mesh,
                 warm_incumbent=(best_solution[cols], best_obj),
+                warm_lower=(
+                    global_lower if np.isfinite(global_lower) else None
+                ),
                 _compact_depth=_compact_depth + 1,
+                _pool=pool,
             )
             obj = best_obj
             x_out = best_solution
@@ -1649,15 +1714,18 @@ def branch_and_bound(
             pooled = pool.sync(
                 best_obj, lo if np.isfinite(lo) else global_lower, False
             )
-            if pooled.stop:
-                hard_limit_reached = True
-                log.info("Stop flag pooled from a peer process")
-                break
+            # adopt the pooled incumbent BEFORE honoring a stop flag: a
+            # peer that proved optimality departs with stop=True AND the
+            # optimal objective in the same round
             if pooled.incumbent < best_obj - px_tol:
                 best_obj = pooled.incumbent
                 incumbent_source = "pooled_remote"
                 log.info(f"Pooled remote incumbent: {best_obj:.12g}")
                 prune_frontier()
+            if pooled.stop:
+                hard_limit_reached = True
+                log.info("Stop flag pooled from a peer process")
+                break
         if np.isfinite(best_obj) and np.isfinite(global_lower):
             cur_gap = compute_mip_gap(best_obj, global_lower)
             if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:

@@ -3,14 +3,19 @@
 The reference keeps the cross-worker state (incumbent objective, global
 dual bound, stop flag) in plain host variables of its single process
 (src/sypha_solver_bnb_driver.cpp:256-261, :1048-1079 — SURVEY §2.3 item 4).
-Across hosts those become the ONLY DCN traffic: scalar all-reduces on a
-cadence.  Design per SURVEY §5: `jax.distributed` for bring-up, each host
-runs its own frontier + node-window solves on its local chips, and every
-``sync()`` pools
+Across hosts those become the ONLY DCN traffic: tiny scalar publishes on a
+cadence.
 
-  * the global incumbent objective (min over hosts),
-  * the global dual bound (min over hosts' frontier bounds),
-  * a stop flag (any host requesting stop stops everyone).
+Transport: the jax.distributed coordination-service KEY-VALUE store, not a
+collective.  A collective (process_allgather) forces every host to reach
+the same call site in lockstep — measured here, a host paying a 45 s XLA
+precompile stalls its peer's whole search loop, and a host that exits a
+phase early trips the Gloo/coordination barrier timeouts.  B&B hosts are
+*asynchronous by nature* (different tree shapes, different compile
+ladders), and the pooled quantities are monotone (incumbents only
+decrease, proven bounds only increase, stop is sticky), so an async
+read of a peer's LAST PUBLISHED value is always sound — staleness only
+delays propagation, never corrupts it.
 
 Single-process runs degrade to a no-op pool so the B&B driver can call
 ``sync()`` unconditionally.
@@ -18,19 +23,18 @@ Single-process runs degrade to a no-op pool so the B&B driver can call
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
-from typing import Optional
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def initialize_distributed(
-    coordinator_address: Optional[str] = None,
-    num_processes: Optional[int] = None,
-    process_id: Optional[int] = None,
+    coordinator_address=None,
+    num_processes=None,
+    process_id=None,
 ) -> int:
     """Bring up the jax.distributed runtime (multi-host).  Returns the
     process count (1 when unconfigured — single-host mode)."""
@@ -49,32 +53,146 @@ class PooledBounds:
     incumbent: float
     dual_bound: float
     stop: bool
+    # every process has announced departure (finished its own search):
+    # the finalize() drain loop may end
+    all_departed: bool = False
 
 
 class BoundPool:
-    """Scalar bound pooling across hosts.
+    """Scalar bound pooling across hosts over the coordination-service KV
+    store.
 
-    Uses a process-spanning all-reduce over jax.distributed when more than
-    one process is attached; otherwise a no-op passthrough.  Pool calls are
-    meant for a cadence (e.g. every B&B batch round), not per node — the
-    scalars are tiny but each sync is a DCN barrier.
+    Each process owns one key and overwrites it with
+    ``seq,incumbent,dual_bound,stop,departed``; ``sync()`` publishes ours
+    and folds whatever peer values are currently visible (non-blocking by
+    default).  ``finalize()`` marks this host departed and polls until
+    every process has departed, so all processes exit near-simultaneously
+    and the jax.distributed shutdown barrier never times out on a
+    fast-finishing host.
+
+    Namespacing: each construction bumps a per-process counter so
+    back-to-back solves in one process pair never read the previous run's
+    keys.  All processes must construct their BoundPools in the same order
+    (they run the same program), mirroring collective-style usage.
     """
+
+    _instance_counter = 0
 
     def __init__(self):
         self.n_processes = jax.process_count()
+        self.pid = jax.process_index()
+        self._seq = 0
+        BoundPool._instance_counter += 1
+        self._ns = f"sypha_bound_pool/{BoundPool._instance_counter}"
+        self._client = None
+        if self.n_processes > 1:
+            from jax._src import distributed
 
-    def sync(self, incumbent: float, dual_bound: float, stop: bool) -> PooledBounds:
+            self._client = distributed.global_state.client
+
+    # ---- wire format ----
+
+    @staticmethod
+    def _encode(seq, incumbent, dual_bound, stop, departed) -> str:
+        return f"{seq},{incumbent!r},{dual_bound!r},{int(stop)},{int(departed)}"
+
+    @staticmethod
+    def _decode(v: str):
+        seq, inc, db, stop, dep = v.split(",")
+        return int(seq), float(inc), float(db), stop == "1", dep == "1"
+
+    def _publish(self, incumbent, dual_bound, stop, departed):
+        self._seq += 1
+        self._client.key_value_set(
+            f"{self._ns}/{self.pid}",
+            self._encode(self._seq, incumbent, dual_bound, stop, departed),
+            allow_overwrite=True,
+        )
+
+    def _read_peer(self, pid):
+        try:
+            return self._decode(
+                self._client.key_value_try_get(f"{self._ns}/{pid}")
+            )
+        except Exception:
+            return None  # peer has not published yet
+
+    # ---- pooling ----
+
+    def sync(
+        self,
+        incumbent: float,
+        dual_bound: float,
+        stop: bool,
+        departed: bool = False,
+        wait: bool = False,
+        wait_timeout_sec: float = 600.0,
+    ) -> PooledBounds:
+        """Publish our scalars, fold the peers' latest.
+
+        ``wait=False`` (the B&B cadence): non-blocking — peers that have
+        not published yet simply do not contribute this round.
+        ``wait=True``: block until every peer has published at least as
+        many rounds as we have (synchronous gather semantics, used by
+        tests and one-shot exchanges)."""
         if self.n_processes <= 1:
-            return PooledBounds(incumbent, dual_bound, stop)
-        # all-reduce three scalars across processes via a global device array
-        vals = jnp.asarray(
-            [incumbent, dual_bound, 1.0 if stop else 0.0], jnp.float64
-        )
-        from jax.experimental import multihost_utils
-
-        allvals = multihost_utils.process_allgather(vals)  # [P, 3]
+            return PooledBounds(incumbent, dual_bound, stop, departed)
+        self._publish(incumbent, dual_bound, stop, departed)
+        if wait:
+            # double barrier: everyone has published round `seq` before
+            # anyone reads, and everyone has read before anyone may
+            # overwrite with round seq+1
+            tmo = int(wait_timeout_sec * 1000)
+            self._client.wait_at_barrier(f"{self._ns}/pub{self._seq}", tmo)
+            rows = [(self._seq, incumbent, dual_bound, stop, departed)]
+            for pid in range(self.n_processes):
+                if pid != self.pid:
+                    rows.append(self._read_peer(pid))
+            self._client.wait_at_barrier(f"{self._ns}/read{self._seq}", tmo)
+        else:
+            rows = [(self._seq, incumbent, dual_bound, stop, departed)]
+            for pid in range(self.n_processes):
+                if pid == self.pid:
+                    continue
+                r = self._read_peer(pid)
+                if r is not None:
+                    rows.append(r)
         return PooledBounds(
-            incumbent=float(np.min(allvals[:, 0])),
-            dual_bound=float(np.min(allvals[:, 1])),
-            stop=bool(np.any(allvals[:, 2] > 0.5)),
+            incumbent=float(min(r[1] for r in rows)),
+            dual_bound=float(min(r[2] for r in rows)),
+            stop=bool(any(r[3] for r in rows)),
+            all_departed=(
+                len(rows) == self.n_processes and all(r[4] for r in rows)
+            ),
         )
+
+    def finalize(
+        self,
+        incumbent: float,
+        dual_bound: float,
+        stop_peers: bool,
+        poll_sec: float = 0.2,
+    ) -> PooledBounds:
+        """Drain loop for a host whose search ended: announce departure
+        (with our final incumbent/bound) and poll until every process has
+        departed.
+
+        ``stop_peers`` — True when this host CLOSED the shared search
+        (optimality proven / infeasible): peers working on the same
+        instance should stop at their next sync.  False on a local
+        time/node limit: peers with budget left keep searching; we merely
+        donate our final incumbent/bound and wait for them.  Returns the
+        last pooled view (the globally agreed incumbent).
+
+        A crashed peer never departs; the coordination service's
+        missed-heartbeat detection then errors out the surviving process —
+        there is deliberately no local timeout racing against it."""
+        out = self.sync(
+            incumbent, dual_bound, stop_peers, departed=True
+        )
+        while self.n_processes > 1 and not out.all_departed:
+            time.sleep(poll_sec)
+            out = self.sync(
+                incumbent, dual_bound, stop_peers, departed=True
+            )
+        return out

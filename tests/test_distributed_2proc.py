@@ -31,14 +31,18 @@ assert pool.n_processes == 2
 inc = 429.0 if pid == 0 else 434.0
 dual = 420.0 if pid == 0 else 417.5
 stop = pid == 1
-out = pool.sync(inc, dual, stop)
+out = pool.sync(inc, dual, stop, wait=True)
 assert out.incumbent == 429.0, out
 assert out.dual_bound == 417.5, out
 assert out.stop, out
 # second cadence round: values move, pool again
-out = pool.sync(428.0 if pid == 1 else 430.0, 425.0, False)
+out = pool.sync(428.0 if pid == 1 else 430.0, 425.0, False, wait=True)
 assert out.incumbent == 428.0, out
 assert not out.stop, out
+# departure protocol: both processes drain and agree on the final view
+out = pool.finalize(out.incumbent, 425.0, stop_peers=False)
+assert out.all_departed, out
+assert out.incumbent == 428.0, out
 print(f"proc {pid} ok")
 """
 
@@ -73,3 +77,114 @@ def test_bound_pool_two_processes(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} ok" in out
+
+
+_BNB_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from sypha_tpu.config import SolverConfig, BnbOptions
+from sypha_tpu.core.problem import ScpModel
+from sypha_tpu.milp.bnb import branch_and_bound
+from sypha_tpu.parallel.distributed import initialize_distributed
+from sypha_tpu.utils.logging import Logger
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+n = initialize_distributed(coordinator_address=coord, num_processes=2, process_id=pid)
+assert n == 2, n
+
+# Planted instance: the optimum {col0, col1} (two disjoint 30-row halves,
+# 50.5 each -> 101.0) is unreachable by ratio-greedy moves: the 15-row
+# windows (21.7 each, ratio 1.447 < 50.5/30 = 1.683) dominate every greedy
+# / repair / local-search choice, and any all-window cover needs >= 5 of
+# them (108.5).  Non-integral costs keep the exact-closure and
+# ceil-tightening machinery out of play, so worker 1 can only reach 101
+# through the pooled incumbent.
+m = 60
+cover_of_col = [set(range(0, m, 2)), set(range(1, m, 2))]
+costs = [50.5, 50.5]
+for s in range(0, m, 4):
+    cover_of_col.append({(s + i) % m for i in range(15)})
+    costs.append(21.7)
+# ScpModel.rows[i] = column indices covering row i
+rows = [
+    np.asarray([j for j, cov in enumerate(cover_of_col) if i in cov],
+               dtype=np.int32)
+    for i in range(m)
+]
+model = ScpModel(
+    nrows=m, ncols=len(costs), costs=np.asarray(costs, dtype=np.float64),
+    rows=rows, name="planted2proc",
+)
+
+if pid == 0:
+    # full solver + the optimal warm incumbent: proves 101 at the root
+    # and departs with stop_peers=True
+    cfg = SolverConfig(verbosity=3, bnb=BnbOptions(
+        hard_time_limit_sec=30.0, node_batch=8,
+    ))
+    x = np.zeros(len(costs)); x[0] = x[1] = 1.0
+    warm = (x, 101.0)
+else:
+    # crippled root phases: no heuristics, no cuts, no Lagrangian, no
+    # compact/core — worker 1 cannot close the planted gap on its own and
+    # can only reach 101 through the pooled incumbent
+    cfg = SolverConfig(verbosity=3, bnb=BnbOptions(
+        hard_time_limit_sec=30.0, node_batch=8,
+        int_heuristics="none", lagrangian_samples=0, cut_rounds_root=0,
+        compact_resolve=False, core_time_frac=0.0,
+    ))
+    warm = None
+res = branch_and_bound(model, cfg, Logger(verbosity=3), warm_incumbent=warm)
+print(f"proc {pid} PRIMAL {res.objective:.6f} STATUS {res.status.name} "
+      f"SRC {res.incumbent_source}", flush=True)
+"""
+
+
+def test_branch_and_bound_two_processes_pooled_incumbent(tmp_path):
+    """VERDICT r2 item 5: both workers run branch_and_bound on the same
+    instance; worker 0 is seeded with the (unreachable-by-heuristics)
+    optimal incumbent, worker 1 must adopt it through BoundPool mid-search
+    and both report the same final objective — with no collective
+    deadlock on either exit path (departure protocol)."""
+    import socket as _socket
+
+    with _socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _BNB_WORKER, coord, str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"proc {pid} PRIMAL 101.000000" in out, out
+    # the pooled incumbent actually reached (and pruned) the peer
+    assert "Pooled remote incumbent: 101" in outs[1], outs[1]
