@@ -156,7 +156,10 @@ class BnbOptions:
     cuts_enabled: bool = True
     cut_rounds_root: int = 5
     max_cuts_per_round: int = 50
-    var_selection: str = "most_fractional"  # or "highest_cost"
+    # "most_fractional" / "highest_cost" (the reference's two selectors,
+    # src/sypha_solver_heuristics.cpp:10-51) or "pseudocost" (no reference
+    # counterpart: per-variable bound-gain statistics, product score)
+    var_selection: str = "most_fractional"
     int_heuristics: str = "nearest_integer_fixing,dual_guided_cover_repair"
     # Batched strong branching (TPU-native: both children of the top-K
     # fractional candidates solve as ONE batched LP call): applied at nodes
@@ -239,6 +242,12 @@ class BnbOptions:
     # the masked width every window.
     compact_resolve: bool = True
     compact_frac: float = 0.5
+    # Run exact-closure probe sessions on a background thread (the native
+    # DFS is host work, node windows are device work — concurrency gives
+    # the refutation ladder the whole wall clock instead of alternating
+    # with the tree).  Requires the native library; falls back to the
+    # inline sessions when absent.
+    async_closure: bool = True
     # Device operator for the node-LP base matrix: "auto" picks the
     # padded-ELL sparse operator below node_ell_density (measured crossover
     # ~5%: scpnrg-class sparse 1.35x faster + 16x less memory, scpnre-class

@@ -64,6 +64,10 @@ class BranchNode:
     parent_dual_bound_raw: float = -np.inf
     # optional warm-start iterate (padded x, y, s from the parent solve)
     warm: Optional[tuple] = None
+    # fractional LP value of the branched variable AT THE PARENT (set when
+    # the child is created); feeds the pseudocost branching statistics —
+    # the observed bound gain normalizes by the rounding distance
+    branch_frac: float = -1.0
 
     def child(self, var: int, value: int) -> Optional["BranchNode"]:
         """append_decision_if_consistent (src/sypha_solver_bnb.cpp:335-348)."""

@@ -28,6 +28,7 @@ TPU-first deviations:
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass, field
 from collections import deque
@@ -434,6 +435,81 @@ class _NodeLpSolver:
         return out
 
 
+class _AsyncClosure:
+    """Runs exact-cover probe sessions on a background thread.
+
+    The native DFS (csrc sypha_exact_cover, via ctypes → GIL released) is
+    pure host work while the node windows are pure device work: running
+    them CONCURRENTLY gives the refutation ladder the whole wall clock
+    instead of alternating with the tree (the r2 design blocked the loop
+    for every 8-120 s session — on scpnre1 that starved the tree to 16
+    nodes in 300 s).
+
+    Thread-safety: the worker reads ``base.active`` (and the immutable
+    cost/mask arrays) while the main thread may MASK more columns.  Masking
+    only clears bits, and every intermediate mask is a superset of the
+    final one, so any torn read is itself an improving-solution-preserving
+    active set — a refutation over it is globally valid.  Results are only
+    APPLIED by the main thread via poll().
+    """
+
+    def __init__(self, base: BaseModel, int_tol: float, log: Logger):
+        self.base = base
+        self.int_tol = int_tol
+        self.log = log
+        self._thread = None
+        self._job = None
+        self._box = None
+
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def start(self, budget: float, duals, slice_sec: float, kind: str):
+        """kind: 'refute' (budget = probe level) or 'find' (budget =
+        incumbent - 1, the pincer)."""
+        assert not self.busy()
+        from sypha_tpu.milp.presolve import exact_small_cover
+
+        box = {}
+        base, tol = self.base, self.int_tol
+
+        def work():
+            t0 = time.monotonic()
+            try:
+                v, x = exact_small_cover(
+                    base, budget + tol, time_limit_sec=slice_sec, duals=duals
+                )
+            except Exception as e:  # never kill the solve from the worker
+                box["out"] = (None, None)
+                box["err"] = repr(e)
+            else:
+                box["out"] = (v, x)
+            box["sec"] = time.monotonic() - t0
+
+        self._job = dict(budget=budget, kind=kind, slice=slice_sec)
+        self._box = box
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def poll(self):
+        """Non-blocking: returns (job, verdict, x, sec) once the running
+        session finished, else None."""
+        if self._thread is None or self._thread.is_alive():
+            return None
+        job, box = self._job, self._box
+        self._thread = None
+        self._job = None
+        self._box = None
+        if "err" in box:
+            self.log.warn(f"async closure session failed: {box['err']}")
+        v, x = box.get("out", (None, None))
+        return job, v, x, box.get("sec", 0.0)
+
+    def join(self, timeout: float):
+        if self._thread is not None:
+            self._thread.join(timeout=max(0.0, timeout))
+
+
 def _compact_scp(base: BaseModel, keep: np.ndarray, name: str):
     """Compact a masked BaseModel to the kept columns as a fresh ScpModel.
 
@@ -806,10 +882,31 @@ def _branch_and_bound(
                 log.info(f"New incumbent from heuristic '{h.name}': {h.objective:.12g}")
         return improved
 
+    # Best closure seed: covering-row duals with the LARGEST positive mass
+    # seen on any converged root-level solve.  Once a CG cut lands, the
+    # re-solved LP's dual mass migrates to the CUT row (measured on
+    # scpnre1: after one cut, sum(y[:nrows_cover]) dropped 21.38 -> 0.0,
+    # the whole optimum carried by the cut dual) — and the exact-cover
+    # engine's dual-ascent bound only understands covering rows, so
+    # seeding it with post-cut duals starved every probe session.  Keep
+    # the pre-cut duals alive here for closure AND for the dual-ordered
+    # cut separators.
+    closure_seed = {"y": None, "mass": 0.0}
+
+    def note_closure_seed(r):
+        if r is None or r["status"] != IpmStatus.CONVERGED:
+            return
+        y = np.clip(np.asarray(r["y"])[: base.nrows_cover], 0.0, None)
+        mass = float(y.sum())
+        if np.isfinite(mass) and mass > closure_seed["mass"]:
+            closure_seed["y"] = y.copy()
+            closure_seed["mass"] = mass
+
     # ---- phase 3: root LP + heuristics + exact-root check ----
     lagrangian_pool: List = []
     log.info("BnB preprocessing: solving root LP relaxation")
     res = solve_single(root)
+    note_closure_seed(res)
     root_ok = res["status"] in (
         IpmStatus.CONVERGED, IpmStatus.MAX_ITER, IpmStatus.GAP_STALLED
     )
@@ -854,10 +951,18 @@ def _branch_and_bound(
             root_dual = res["dobj"]
             if warm_lower is not None and np.isfinite(warm_lower):
                 root_dual = max(root_dual, warm_lower)
-            global_lower_raw = min(global_lower_raw, root_dual)
+            global_lower_raw = (
+                max(global_lower_raw, root_dual)
+                if np.isfinite(global_lower_raw)
+                else root_dual
+            )
             if obj_is_integral:
                 root_dual = tighten_dual_bound(root_dual, int_tol)
-            global_lower = min(global_lower, root_dual)
+            global_lower = (
+                max(global_lower, root_dual)
+                if np.isfinite(global_lower)
+                else root_dual
+            )
         fixed = reduced_cost_fix(res)
         if fixed:
             log.info(
@@ -958,17 +1063,31 @@ def _branch_and_bound(
                 log.info("Time limit reached during root cut rounds")
                 break
             res = solve_single(root)
+            note_closure_seed(res)
             if res["status"] not in (
                 IpmStatus.CONVERGED, IpmStatus.MAX_ITER, IpmStatus.GAP_STALLED
             ):
                 log.info(f"Cut round {cut_round + 1}: LP solve failed, stopping cuts")
                 break
             if usable_bound(res):
+                # a root-relaxation dual is a valid GLOBAL lower bound, and
+                # so is whatever global_lower already holds (root LP floor,
+                # inherited warm_lower, face refutations): keep the max —
+                # min() regressed an inherited compact-parent bound of 26
+                # to the cut-LP's 22 on scpnre1
                 cut_dual = res["dobj"]
-                global_lower_raw = min(global_lower_raw, cut_dual)
+                global_lower_raw = (
+                    max(global_lower_raw, cut_dual)
+                    if np.isfinite(global_lower_raw)
+                    else cut_dual
+                )
                 if obj_is_integral:
                     cut_dual = tighten_dual_bound(cut_dual, int_tol)
-                global_lower = min(global_lower, cut_dual)
+                global_lower = (
+                    max(global_lower, cut_dual)
+                    if np.isfinite(global_lower)
+                    else cut_dual
+                )
             fixed = reduced_cost_fix(res)
             if fixed:
                 log.info(
@@ -1125,6 +1244,10 @@ def _branch_and_bound(
     # the frontier without ever shrinking the face, so a single fixed-budget
     # attempt used to be the only one the whole run got)
     _closure_inconclusive = None  # dict(n, obj, attempts, t_end, budget)
+    # background closure worker (installed just before the main loop; the
+    # pre-loop root closure attempt stays inline — the device is idle then
+    # and its refutations inform the compact re-solve's warm_lower)
+    aclosure: Optional[_AsyncClosure] = None
 
     # ---- checkpoint resume ----
     ckpt = _load_checkpoint(bnb.checkpoint_path, log) if bnb.checkpoint_path else None
@@ -1193,6 +1316,43 @@ def _branch_and_bound(
     # plateaus the tree grinds thousands of unbounded nodes while the 126-
     # column face is one long-enough enumeration away from a proof
     next_closure_try = 0.0
+
+    # pseudocost statistics: per-variable, per-direction running sums of
+    # (child LP bound - parent bound) / rounding distance.  Batched node
+    # windows make the bookkeeping free; the selector combines both
+    # directions with the classic product score (uninitialized variables
+    # fall back to the global mean, most-fractional as the tiebreak).
+    psc_sum = np.zeros((2, base.ncols))
+    psc_cnt = np.zeros((2, base.ncols))
+
+    def note_pseudocost(node: BranchNode, node_bound: float):
+        if not node.decisions or node.branch_frac < 0.0:
+            return
+        d = node.decisions[-1]
+        dist = node.branch_frac if d.value == 0 else 1.0 - node.branch_frac
+        if dist <= 1e-9 or not np.isfinite(node.parent_dual_bound_raw):
+            return
+        gain = max(0.0, node_bound - node.parent_dual_bound_raw)
+        psc_sum[d.value, d.var] += gain / dist
+        psc_cnt[d.value, d.var] += 1.0
+
+    def pseudocost_pick(x, cands: np.ndarray) -> int:
+        f = np.clip(np.asarray(x)[cands], 0.0, 1.0)
+        ests = []
+        for v, dist in ((0, f), (1, 1.0 - f)):
+            cnt = psc_cnt[v, cands]
+            tot = psc_cnt[v].sum()
+            glob = psc_sum[v].sum() / tot if tot > 0 else 1e-6
+            mean = np.where(
+                cnt > 0,
+                psc_sum[v, cands] / np.maximum(cnt, 1.0),
+                max(glob, 1e-6),
+            )
+            ests.append(mean * dist)
+        score = np.maximum(ests[0], 1e-9) * np.maximum(ests[1], 1e-9)
+        # most-fractional tiebreak keeps early (statistics-free) picks sane
+        score = score * (1.0 + 0.01 * np.minimum(f, 1.0 - f))
+        return int(cands[int(np.argmax(score))])
 
     sb_opts = ipm_opts.replace(max_iter=12, tol_gap=1e-5, tol_feas=1e-6)
 
@@ -1331,6 +1491,7 @@ def _branch_and_bound(
             if time_up():
                 return
             res = solve_single(BranchNode())
+            note_closure_seed(res)
             if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
                 if node_coverable(None):
                     return  # numerical failure; keep searching as-is
@@ -1349,10 +1510,13 @@ def _branch_and_bound(
             log.info(
                 f"Reduced-cost fixing: {r2} cols masked, {base.n_active} active"
             )
-        try_exact_closure(
-            seed_x=res["x"] if res is not None else None,
-            seed_y=res["y"] if res is not None else None,
-        )
+        if aclosure is None:
+            # no background worker: finish with the inline (blocking)
+            # escalating closure sessions
+            try_exact_closure(
+                seed_x=res["x"] if res is not None else None,
+                seed_y=res["y"] if res is not None else None,
+            )
 
     def lift_bound_to(new_lower: float):
         """A face refutation at budget b proves NO improving solution of
@@ -1391,6 +1555,12 @@ def _branch_and_bound(
         if not (obj_is_integral and np.isfinite(best_obj)):
             return False
         from sypha_tpu.milp.presolve import exact_small_cover, sample_cover
+
+        # always probe with the best covering-row duals seen (post-cut LP
+        # duals concentrate on cut rows, leaving the dual-ascent engine
+        # with a zero seed — see note_closure_seed)
+        if closure_seed["mass"] > 1e-9:
+            seed_y = closure_seed["y"]
 
         # with near-optimal coverage-row duals the native engine's
         # Lagrangian bound refutes plateau faces at many hundreds of
@@ -1696,6 +1866,99 @@ def _branch_and_bound(
                 compile_time_sec=compile_total + sub.compile_time_sec,
             )
 
+    # ---- background closure worker (main loop only) ----
+    if bnb.async_closure and obj_is_integral:
+        from sypha_tpu import native as _native
+
+        if _native.get_lib() is not None:
+            aclosure = _AsyncClosure(base, int_tol, log)
+    _closure_attempts: dict = {}
+    _last_refute_sec = 0.0
+
+    def async_closure_step(start_new: bool = True) -> bool:
+        """Apply a finished background closure session and keep the worker
+        saturated.  Returns True when the session CLOSED the search
+        (frontier cleared) — the caller's gap check then declares optimal.
+
+        Session policy mirrors the inline ladder: bottom-up refutations at
+        the proven bound with per-level doubling budgets, plus the pincer
+        top-down find at incumbent-1 once the bottom-up level stalls."""
+        nonlocal _closure_attempts, _last_refute_sec
+        done = aclosure.poll()
+        if done is not None:
+            job, v, x, sec = done
+            level = job["budget"]
+            key = (job["kind"], int(round(level)))
+            if v is False:
+                if job["kind"] == "refute":
+                    _last_refute_sec = sec
+                if job["kind"] == "find":
+                    log.info(
+                        f"Async probe refuted every cost <= {level:.6g} over "
+                        f"{base.n_active} active columns ({sec:.1f}s) — "
+                        f"incumbent is optimal"
+                    )
+                    lift_bound_to(best_obj)
+                    frontier.clear()
+                    numerical_failures.clear()
+                    return True
+                lifted = min(level + 1.0, best_obj)
+                log.info(
+                    f"Async face probe refuted cost <= {level:.6g} over "
+                    f"{base.n_active} active columns ({sec:.1f}s): dual "
+                    f"bound -> {lifted:.6g}"
+                )
+                lift_bound_to(lifted)
+            elif v is True:
+                obj_f = float(base.costs @ (x > 0.5))
+                if obj_f < best_obj - px_tol:
+                    log.info(f"Async face probe found a cover: {obj_f:.12g}")
+                    adopt(x, "exact_face_enumeration", obj_f)
+                    prune_frontier()
+                    if reduce_by_incumbent():
+                        solver.refresh()
+                    _closure_attempts = {}
+            else:
+                _closure_attempts[key] = _closure_attempts.get(key, 0) + 1
+        if (
+            not start_new
+            or aclosure.busy()
+            or not np.isfinite(best_obj)
+            or closure_seed["mass"] <= 1e-9
+            or base.n_active > 1024
+            or time_up()
+        ):
+            return False
+        probe = (
+            float(np.round(global_lower))
+            if np.isfinite(global_lower)
+            else best_obj - 1.0
+        )
+        if probe > best_obj - 1.0 + int_tol:
+            return False  # nothing below the incumbent left to refute
+        remaining = (
+            deadline - time.monotonic() if np.isfinite(deadline) else 600.0
+        )
+        if remaining < 2.0:
+            return False
+        rk = ("refute", int(round(probe)))
+        fk = ("find", int(round(best_obj - 1.0)))
+        ra, fa = _closure_attempts.get(rk, 0), _closure_attempts.get(fk, 0)
+        if probe < best_obj - 1.0 - px_tol and ra >= fa + 2:
+            kind, level, att = "find", best_obj - 1.0, fa
+        else:
+            kind, level, att = "refute", probe, ra
+        # sessions run CONCURRENTLY with the tree, so generous slices cost
+        # nothing but a delayed bound lift; refutation cost grows ~5x per
+        # probe unit, so size the first slice of each level from the last
+        # completed refutation instead of re-climbing a fixed ladder
+        base_slice = (
+            max(30.0, 5.0 * _last_refute_sec) if _last_refute_sec else 15.0
+        )
+        slice_sec = min(base_slice * (2.0 ** att), 300.0, remaining)
+        aclosure.start(level, closure_seed["y"], slice_sec, kind)
+        return False
+
     while processed < bnb.max_nodes:
         now = time.monotonic()
         if (hard_limit > 0 and (now - t_start) >= hard_limit) or log.is_stop_requested():
@@ -1726,6 +1989,8 @@ def _branch_and_bound(
                 hard_limit_reached = True
                 log.info("Stop flag pooled from a peer process")
                 break
+        if aclosure is not None and async_closure_step():
+            continue  # search closed; the empty-frontier exit fires next
         if np.isfinite(best_obj) and np.isfinite(global_lower):
             cur_gap = compute_mip_gap(best_obj, global_lower)
             if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:
@@ -1863,6 +2128,8 @@ def _branch_and_bound(
                 reliable = True
             elif reliable:
                 node_bound = res["dobj"]
+            if reliable:
+                note_pseudocost(node, node_bound)
             # bounds are monotone down a subtree: never regress below parent
             node_dual_raw = (
                 max(node_bound, node.parent_dual_bound_raw)
@@ -1938,9 +2205,12 @@ def _branch_and_bound(
                     ):
                         var = strong_branch_variable(node, res, cands)
                     if var < 0:
-                        var = select_branch_variable(
-                            bnb.var_selection, res["x"], base.costs, cands
-                        )
+                        if bnb.var_selection == "pseudocost":
+                            var = pseudocost_pick(res["x"], cands)
+                        else:
+                            var = select_branch_variable(
+                                bnb.var_selection, res["x"], base.costs, cands
+                            )
                 if var >= 0 or attempt == 1:
                     break
                 log.debug(
@@ -1984,6 +2254,9 @@ def _branch_and_bound(
                     child.parent_dual_bound = node_dual
                     child.parent_dual_bound_raw = node_dual_raw
                     child.warm = res.get("warm")
+                    child.branch_frac = float(
+                        np.clip(res["x"][var], 0.0, 1.0)
+                    )
                     frontier.append(child)
 
             # adaptive LP-iteration throttling on MIP-gap stagnation
@@ -2052,6 +2325,18 @@ def _branch_and_bound(
                 # cuts raise the root bound -> refresh the frontier floor
                 # and re-run reduced-cost fixing against it
                 refresh_root_bound()
+
+    # drain the background closure worker: a refutation that finished
+    # while the loop was exiting still lifts the reported bound (and the
+    # frontier floors), and a found cover still improves the incumbent
+    if aclosure is not None and aclosure.busy():
+        aclosure.join(
+            min(2.0, max(0.0, deadline - time.monotonic()))
+            if np.isfinite(deadline)
+            else 2.0
+        )
+    if aclosure is not None:
+        async_closure_step(start_new=False)
 
     # final checkpoint: a time-limited run can resume where it stopped
     if bnb.checkpoint_path and (hard_limit_reached or frontier):

@@ -455,3 +455,37 @@ def test_compact_resolve_end_to_end(monkeypatch):
     assert r.status == MilpStatus.OPTIMAL
     assert abs(r.objective - expected) < 1e-9
     assert BaseModel(m).is_cover(r.solution)
+
+
+def test_async_closure_worker_refutes_and_finds():
+    """_AsyncClosure runs exact-cover sessions on a background thread:
+    a refute session at optimum-1 proves no better cover exists, a find
+    session at the optimum returns one (r3: the sessions used to run
+    inline, blocking the tree for their whole budget)."""
+    import time
+
+    from sypha_tpu.milp.bnb import _AsyncClosure
+    from sypha_tpu.utils.logging import Logger
+
+    base = BaseModel(parse_scp_text(TINY))
+    opt = scipy_milp_optimum(parse_scp_text(TINY))
+    w = _AsyncClosure(base, 1e-6, Logger(verbosity=0))
+
+    def run(budget, kind):
+        w.start(budget, None, 5.0, kind)
+        assert w.busy() or w.poll is not None
+        deadline = time.monotonic() + 30.0
+        while True:
+            out = w.poll()
+            if out is not None:
+                return out
+            assert time.monotonic() < deadline, "worker never finished"
+            time.sleep(0.01)
+
+    job, v, x, sec = run(opt - 1.0, "refute")
+    assert job["kind"] == "refute" and v is False, (v, x)
+
+    job, v, x, sec = run(opt, "find")
+    assert v is True
+    assert float(base.costs @ (x > 0.5)) == opt
+    assert not w.busy()
