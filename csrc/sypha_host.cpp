@@ -539,6 +539,29 @@ struct ExactCoverCtx {
     // and also sharpen the dual ascent: a banned column's slack no longer
     // caps its rows' multipliers.
     std::vector<uint8_t> banned;
+    // --- static cut-row Lagrangian (rank-1 CG closure strength) ---
+    // The root LP's dual mass migrates onto appended CG cut rows (the
+    // cut-strengthened LP bound EXCEEDS the plain LP bound, e.g. scpnre1
+    // 21.38 -> 22.0 after one dual-aggregated cut), and the covering-row
+    // ascent alone can never exceed the plain LP bound.  With fixed
+    // multipliers w_c >= 0 on cut rows a_c . x >= rho_c and redc_i also
+    // deducting w . a_i (joint feasibility scaling at setup), every
+    // completion T of a partial cover satisfies
+    //   c(T) >= sum_{r in U} u_r + sum_c w_c max(0, rho_res_c) + redc_i
+    // for any i in T, where rho_res_c = rho_c - a_c . chosen is tracked
+    // down the DFS (restored on backtrack).  ncuts == 0 disables all of
+    // it at zero cost.
+    int64_t ncuts = 0;
+    int64_t kcols = 0;             // sorted-active column count (ca stride)
+    const double* cw = nullptr;    // [ncuts] scaled multipliers >= 0
+    const double* ca = nullptr;    // [ncuts * kcols] sorted-active coeffs
+    double rho[16];                // residual rhs (descend-mutated)
+    inline double cut_mass() const {
+        double s = 0.0;
+        for (int64_t c2 = 0; c2 < ncuts; ++c2)
+            if (rho[c2] > 0.0) s += cw[c2] * rho[c2];
+        return s;
+    }
 };
 
 // apply u[r] += d and redc[by_row[r]] -= d, logged for undo.  Two uses:
@@ -620,9 +643,11 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         }
     }
     if (r_pick < 0) return true;  // covered
+    const double cmass = ctx.ncuts ? ctx.cut_mass() : 0.0;
     double lb = lb_spread > lb_max ? lb_spread : lb_max;
     if (lb_dual - ctx.dual_eps > lb) lb = lb_dual - ctx.dual_eps;
-    if (ctx.ascend && lb_u - ctx.dual_eps > lb) lb = lb_u - ctx.dual_eps;
+    if (ctx.ascend && lb_u + cmass - ctx.dual_eps > lb)
+        lb = lb_u + cmass - ctx.dual_eps;
     if (cost + ctx.lbr(lb) > ctx.budget + 1e-9) return false;
     const size_t umark = ctx.ulog.size();
     if (ctx.ascend) {
@@ -630,7 +655,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // per-node-adaptive Lagrangian bound (undone on backtrack)
         lb_u = ascend_pass(ctx, cov, lb_u);
         if (lb_u >= 1e299 ||
-            cost + ctx.lbr(lb_u) > ctx.budget + 1e-9) {
+            cost + ctx.lbr(lb_u + cmass) > ctx.budget + 1e-9) {
             ascend_undo(ctx, umark);
             return false;
         }
@@ -698,9 +723,11 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         }
         // dynamic variant with the ascended multipliers: the completion
         // through i pays its (conservatively tracked) reduced cost on top
-        // of the uncovered u-mass
+        // of the uncovered u-mass + residual cut mass (redc already
+        // deducts w.a_i and the residual counts i's own contribution, so
+        // no per-candidate rho adjustment is needed — see ctx comment)
         if (ctx.ascend &&
-            cost + ctx.lbr(lb_u + ctx.redc[static_cast<size_t>(i)]) >
+            cost + ctx.lbr(lb_u + cmass + ctx.redc[static_cast<size_t>(i)]) >
                 ctx.budget + 1e-9) {
             ctx.banned[static_cast<size_t>(i)] = 1;
             bans_here.push_back(i);
@@ -710,6 +737,16 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         for (int64_t w = 0; w < ctx.nwords; ++w)
             cov2[static_cast<size_t>(w)] |=
                 ctx.masks[static_cast<size_t>(i) * ctx.nwords + w];
+        double rho_save[16];
+        if (ctx.ncuts) {
+            for (int64_t c2 = 0; c2 < ctx.ncuts; ++c2) {
+                rho_save[c2] = ctx.rho[c2];
+                ctx.rho[c2] -=
+                    ctx.ca[static_cast<size_t>(c2) *
+                               static_cast<size_t>(ctx.kcols) +
+                           static_cast<size_t>(i)];
+            }
+        }
         const size_t cmark = ctx.ulog.size();
         if (ctx.ascend) {
             // rows newly covered by i: zero their multipliers, returning
@@ -728,7 +765,12 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             }
         }
         ctx.chosen.push_back(i);
-        if (exact_cover_dfs(ctx, cov2, cost + ctx.costs[i])) {
+        const bool child_found =
+            exact_cover_dfs(ctx, cov2, cost + ctx.costs[i]);
+        if (ctx.ncuts)
+            for (int64_t c2 = 0; c2 < ctx.ncuts; ++c2)
+                ctx.rho[c2] = rho_save[c2];
+        if (child_found) {
             found = true;
             break;
         }
@@ -743,7 +785,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         if (ctx.ascend) {
             lb_u = ascend_pass(ctx, cov, lb_u, 1);
             if (lb_u >= 1e299 ||
-                cost + ctx.lbr(lb_u) > ctx.budget + 1e-9)
+                cost + ctx.lbr(lb_u + cmass) > ctx.budget + 1e-9)
                 break;
         }
     }
@@ -752,14 +794,14 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     return found;
 }
 
-}  // namespace
-
-extern "C" int sypha_exact_cover(
+int exact_cover_impl(
     const uint64_t* col_masks, int64_t nwords,
     const double* costs, const uint8_t* active, int64_t ncols,
     const int64_t* col_ptr, const int32_t* col_idx, int64_t nrows,
     double budget, double deadline_sec, const double* row_dual,
-    uint8_t* out_sel) {
+    uint8_t* out_sel,
+    const double* cut_w, const double* cut_coef, const double* cut_rhs,
+    int64_t nc) {
     std::vector<int32_t> act;
     for (int64_t j = 0; j < ncols; ++j)
         if (active[j]) act.push_back(static_cast<int32_t>(j));
@@ -861,6 +903,48 @@ extern "C" int sypha_exact_cover(
         ascend = true;
     }
 
+    // --- static cut-row Lagrangian setup (see ExactCoverCtx comment) ---
+    // Gather each cut's coefficients in sorted-active order, then jointly
+    // scale the multipliers by phi so redc0_i - phi * (w . a_i) stays
+    // >= 0 (u-feasibility is untouched; the ascent operates on the
+    // already-deducted redc).  Negative coefficients (objective-cover
+    // cuts) never constrain phi and contribute no mass once the residual
+    // rhs goes nonpositive — harmless by construction.
+    std::vector<double> cav, cwv, rhov;
+    int64_t nce = 0;
+    if (nc > 0 && ascend && cut_w && cut_coef && cut_rhs) {
+        for (int64_t c2 = 0; c2 < nc && nce < 16; ++c2) {
+            const double w = cut_w[c2];
+            if (!(w > 1e-12) || w > 1e300) continue;
+            cwv.push_back(w);
+            rhov.push_back(cut_rhs[c2]);
+            for (size_t i = 0; i < k; ++i)
+                cav.push_back(
+                    cut_coef[static_cast<size_t>(c2) *
+                                 static_cast<size_t>(ncols) +
+                             static_cast<size_t>(act[i])]);
+            ++nce;
+        }
+        if (nce) {
+            std::vector<double> wa(k, 0.0);
+            for (int64_t c2 = 0; c2 < nce; ++c2)
+                for (size_t i = 0; i < k; ++i)
+                    wa[i] += cwv[static_cast<size_t>(c2)] *
+                             cav[static_cast<size_t>(c2) * k + i];
+            double phi = 1.0;
+            for (size_t i = 0; i < k; ++i)
+                if (wa[i] > 1e-12 && redc0[i] / wa[i] < phi)
+                    phi = redc0[i] / wa[i];
+            if (phi < 0.0) phi = 0.0;
+            for (int64_t c2 = 0; c2 < nce; ++c2)
+                cwv[static_cast<size_t>(c2)] *= phi;
+            for (size_t i = 0; i < k; ++i) {
+                redc0[i] -= phi * wa[i];
+                if (redc0[i] < 0.0) redc0[i] = 0.0;
+            }
+        }
+    }
+
     ExactCoverCtx ctx;
     ctx.full = full.data();
     ctx.nwords = nwords;
@@ -879,6 +963,12 @@ extern "C" int sypha_exact_cover(
         ctx.redc = std::move(redc0);
         ctx.ulog.reserve(1024);
     }
+    ctx.ncuts = nce;
+    ctx.kcols = static_cast<int64_t>(k);
+    ctx.cw = cwv.data();
+    ctx.ca = cav.data();
+    for (int64_t c2 = 0; c2 < nce; ++c2)
+        ctx.rho[c2] = rhov[static_cast<size_t>(c2)];
     ctx.budget = budget;
     ctx.dual_eps = 1e-7 * (budget > 1.0 ? budget : 1.0);
     ctx.costs_integral = true;
@@ -909,18 +999,20 @@ extern "C" int sypha_exact_cover(
         // DFS candidate loop.
         const bool ec_stats = std::getenv("SYPHA_EC_STATS") != nullptr;
         std::vector<uint8_t> dead(k, 0);
+        const double cm0 = ctx.ncuts ? ctx.cut_mass() : 0.0;
         for (int round = 0; round < 32; ++round) {
             double lb_u = 0.0;
             for (int64_t r = 0; r < nrows; ++r)
                 lb_u += ctx.u[static_cast<size_t>(r)];
             lb_u = ascend_pass(ctx, cov, lb_u, 16);
-            if (ctx.lbr(lb_u) > budget + 1e-9) return 0;  // refuted
+            if (ctx.lbr(lb_u + cm0) > budget + 1e-9) return 0;  // refuted
             int dropped = 0;
             if (ec_stats)
-                std::fprintf(stderr, "[ec] round %d lb_u=%.6f\n", round, lb_u);
+                std::fprintf(stderr, "[ec] round %d lb_u=%.6f cm=%.6f\n",
+                             round, lb_u, cm0);
             for (size_t i = 0; i < k; ++i) {
                 if (dead[i]) continue;
-                if (ctx.lbr(lb_u + ctx.redc[i]) > budget + 1e-9) {
+                if (ctx.lbr(lb_u + cm0 + ctx.redc[i]) > budget + 1e-9) {
                     dead[i] = 1;
                     ++dropped;
                 }
@@ -967,4 +1059,35 @@ extern "C" int sypha_exact_cover(
         return 1;
     }
     return ctx.timed_out ? -1 : 0;
+}
+
+}  // namespace
+
+extern "C" int sypha_exact_cover(
+    const uint64_t* col_masks, int64_t nwords,
+    const double* costs, const uint8_t* active, int64_t ncols,
+    const int64_t* col_ptr, const int32_t* col_idx, int64_t nrows,
+    double budget, double deadline_sec, const double* row_dual,
+    uint8_t* out_sel) {
+    return exact_cover_impl(col_masks, nwords, costs, active, ncols,
+                            col_ptr, col_idx, nrows, budget, deadline_sec,
+                            row_dual, out_sel, nullptr, nullptr, nullptr, 0);
+}
+
+// Cut-armed variant: cut_coef is [nc x ncols] dense (input column order),
+// cut_w the LP duals of the cut rows, cut_rhs their >=-form right-hand
+// sides.  Cuts must be valid for every cover the probe budget admits
+// (global CG cuts always; objective-cover cuts for budgets <= incumbent-1,
+// which is every probe the driver issues).
+extern "C" int sypha_exact_cover_cuts(
+    const uint64_t* col_masks, int64_t nwords,
+    const double* costs, const uint8_t* active, int64_t ncols,
+    const int64_t* col_ptr, const int32_t* col_idx, int64_t nrows,
+    double budget, double deadline_sec, const double* row_dual,
+    uint8_t* out_sel,
+    const double* cut_w, const double* cut_coef, const double* cut_rhs,
+    int64_t nc) {
+    return exact_cover_impl(col_masks, nwords, costs, active, ncols,
+                            col_ptr, col_idx, nrows, budget, deadline_sec,
+                            row_dual, out_sel, cut_w, cut_coef, cut_rhs, nc);
 }

@@ -248,6 +248,15 @@ class BnbOptions:
     # with the tree).  Requires the native library; falls back to the
     # inline sessions when absent.
     async_closure: bool = True
+    # Arm the exact-closure engine's static cut-row Lagrangian term with
+    # the seed's cut duals.  Measured on the scpnre1 401-column face:
+    # NEUTRAL with covering-dual seeds (refute-26: 58.5s vs 58.8s plain —
+    # the joint feasibility scaling leaves the cut multiplier near zero)
+    # and a large LOSS with cut-dual seeds (inconclusive at 420s vs 59s:
+    # the static cut mass decays as the DFS picks columns while the
+    # displaced covering-u machinery would have reallocated).  Default
+    # off; the engine capability stays for experiments.
+    closure_use_cuts: bool = False
     # Device operator for the node-LP base matrix: "auto" picks the
     # padded-ELL sparse operator below node_ell_density (measured crossover
     # ~5%: scpnrg-class sparse 1.35x faster + 16x less memory, scpnre-class

@@ -464,7 +464,9 @@ class _AsyncClosure:
     def busy(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
 
-    def start(self, budget: float, duals, slice_sec: float, kind: str):
+    def start(
+        self, budget: float, duals, slice_sec: float, kind: str, cuts=None
+    ):
         """kind: 'refute' (budget = probe level) or 'find' (budget =
         incumbent - 1, the pincer)."""
         assert not self.busy()
@@ -477,7 +479,8 @@ class _AsyncClosure:
             t0 = time.monotonic()
             try:
                 v, x = exact_small_cover(
-                    base, budget + tol, time_limit_sec=slice_sec, duals=duals
+                    base, budget + tol, time_limit_sec=slice_sec,
+                    duals=duals, cuts=cuts,
                 )
             except Exception as e:  # never kill the solve from the worker
                 box["out"] = (None, None)
@@ -891,16 +894,50 @@ def _branch_and_bound(
     # seeding it with post-cut duals starved every probe session.  Keep
     # the pre-cut duals alive here for closure AND for the dual-ordered
     # cut separators.
-    closure_seed = {"y": None, "mass": 0.0}
+    closure_seed = {"y": None, "mass": 0.0, "cut_w": None, "ncuts": 0}
 
     def note_closure_seed(r):
         if r is None or r["status"] != IpmStatus.CONVERGED:
             return
-        y = np.clip(np.asarray(r["y"])[: base.nrows_cover], 0.0, None)
-        mass = float(y.sum())
+        y_full = np.asarray(r["y"])
+        y = np.clip(y_full[: base.nrows_cover], 0.0, None)
+        # cut-row duals (rows nrows_cover..nrows in cut-list order): their
+        # Lagrangian mass w_c * rhs_c counts toward the seed quality — the
+        # cut-strengthened bound EXCEEDS the plain LP bound the covering
+        # ascent is capped by, so post-cut duals (mass on the cut row) are
+        # the STRONGER seed once the engine understands cut rows
+        ncuts = len(base.cuts)
+        wc = (
+            np.clip(y_full[base.nrows_cover : base.nrows_cover + ncuts],
+                    0.0, None)
+            if len(y_full) >= base.nrows_cover + ncuts
+            else np.zeros(ncuts)
+        )
+        cut_mass = float(
+            sum(w * c.rhs for w, c in zip(wc, base.cuts) if c.rhs > 0)
+        )
+        mass = float(y.sum()) + cut_mass
         if np.isfinite(mass) and mass > closure_seed["mass"]:
             closure_seed["y"] = y.copy()
             closure_seed["mass"] = mass
+            closure_seed["cut_w"] = wc.copy()
+            closure_seed["ncuts"] = ncuts
+
+    def closure_cuts():
+        """(w, coef, rhs) for the seed's cut rows — base.cuts only appends,
+        so the seed's prefix is always intact.  Gated by
+        bnb.closure_use_cuts (measured net-neutral/harmful; see config)."""
+        ncuts = closure_seed["ncuts"]
+        wc = closure_seed["cut_w"]
+        if not bnb.closure_use_cuts:
+            return None
+        if not ncuts or wc is None or not np.any(wc > 1e-12):
+            return None
+        cl = base.cuts[:ncuts]
+        coef = np.zeros((ncuts, base.ncols))
+        for ci, c in enumerate(cl):
+            coef[ci, c.indices] = c.values
+        return (wc, coef, np.asarray([c.rhs for c in cl], dtype=np.float64))
 
     # ---- phase 3: root LP + heuristics + exact-root check ----
     lagrangian_pool: List = []
@@ -1650,6 +1687,7 @@ def _branch_and_bound(
                     probe + int_tol,
                     time_limit_sec=slice_sec,
                     duals=seed_y,
+                    cuts=closure_cuts(),
                 )
                 if verdict is None:
                     break
@@ -1720,6 +1758,7 @@ def _branch_and_bound(
                             best_obj - 1.0 + int_tol,
                             time_limit_sec=fslice,
                             duals=seed_y,
+                            cuts=closure_cuts(),
                         )
                         find_budget_used = max(find_budget_used, fslice)
                         if fv is False:
@@ -1760,113 +1799,11 @@ def _branch_and_bound(
                 return False
         return False
 
-    # Root closure attempt: iterate reduced-cost fixing to a fixpoint and
-    # hand the root duals to the exact face enumeration — the Lagrangian
-    # bound refutes budget incumbent-1 directly on scp4x/5x-class models
-    # (scp48: 4 s on the FULL 1000-column model), often closing the search
-    # before any branching.  Skipped when the root LP already closed the
-    # gap (the main loop's first check then declares optimal immediately).
-    if not gap_closed():
-        refresh_root_bound()
-
-    # ---- compact re-solve (rebase to a smaller padded bucket) ----
-    # The improving-preserving reductions above mask columns but the node
-    # LPs still solve at the ORIGINAL padded width: every window GEMM pays
-    # for columns that can never enter an improving solution (scpnre1:
-    # 401/5000 active after the rc-fix fixpoint, ~13x excess FLOPs).  The
-    # reference physically removes columns and remaps nodes
-    # (rebuildCsrAfterRemoval, src/sypha_node_sparse.cpp:224-282;
-    # remap_branch_node, src/sypha_solver_bnb.cpp:300-333); the
-    # shape-static TPU analogue is a one-time REBASE: compact the model to
-    # (active | incumbent-support) columns and delegate the remaining
-    # search to a recursive branch_and_bound on the small bucket.
-    # Soundness: any solution strictly better than the incumbent survives
-    # the maskings, and the incumbent's own support is carried, so
-    # global_optimum = min(best_obj, compact_optimum) and every compact
-    # dual bound is a valid global bound; OPTIMAL carries over.  The
-    # compact run's own root phase re-fixes against its (improving)
-    # incumbents, so the rebase compounds with every later reduction.
-    if (
-        bnb.compact_resolve
-        and _compact_depth < 2
-        and restrict_active is None
-        and ckpt is None
-        and np.isfinite(best_obj)
-        and not gap_closed()
-        and not time_up()
-        and len(frontier) == 1
-        and not frontier[0].decisions
-    ):
-        keep = base.active | (best_solution[:n_input] > 0.5)
-        new_n = int(keep.sum())
-        old_np = solver._bucket[1] or _round_up(
-            base.ncols + base.nrows + _NodeLpSolver.CUT_HEADROOM, 128
-        )
-        new_np = _round_up(
-            new_n + base.nrows_cover + _NodeLpSolver.CUT_HEADROOM, 128
-        )
-        if new_np <= bnb.compact_frac * old_np:
-            compact_model, cols = _compact_scp(
-                base, keep, f"{model.name}@compact{_compact_depth + 1}"
-            )
-            remaining = (
-                max(1.0, deadline - time.monotonic())
-                if np.isfinite(deadline)
-                else 0.0
-            )
-            log.info(
-                f"Compact re-solve: rebasing {new_n}/{n_input} columns "
-                f"(bucket {old_np} -> {new_np}), delegating the search"
-            )
-            sub = branch_and_bound(
-                compact_model,
-                cfg.replace(
-                    bnb=bnb.replace(
-                        hard_time_limit_sec=remaining, checkpoint_path=""
-                    )
-                ),
-                log,
-                mesh=mesh,
-                warm_incumbent=(best_solution[cols], best_obj),
-                warm_lower=(
-                    global_lower if np.isfinite(global_lower) else None
-                ),
-                _compact_depth=_compact_depth + 1,
-                _pool=pool,
-            )
-            obj = best_obj
-            x_out = best_solution
-            src = incumbent_source
-            if np.isfinite(sub.objective) and sub.objective <= best_obj + px_tol:
-                x_out = np.zeros(n_input)
-                x_out[cols[np.flatnonzero(sub.solution > 0.5)]] = 1.0
-                obj = float(base.costs @ x_out)
-                src = sub.incumbent_source
-            dual = max(
-                global_lower if np.isfinite(global_lower) else -np.inf,
-                sub.dual_bound,
-            )
-            optimal = sub.status == MilpStatus.OPTIMAL or (
-                np.isfinite(dual) and compute_mip_gap(obj, dual) <= mip_gap_tol
-            )
-            return MilpResult(
-                status=MilpStatus.OPTIMAL if optimal else MilpStatus.FEASIBLE,
-                objective=obj,
-                dual_bound=obj if optimal else dual,
-                mip_gap=0.0 if optimal else compute_mip_gap(obj, dual),
-                nodes_processed=sub.nodes_processed,
-                total_lp_iterations=sub.total_lp_iterations,
-                solution=x_out,
-                incumbent_source=src,
-                wall_time_sec=(
-                    time.monotonic() - t_start - sub.compile_time_sec
-                ),
-                root_cuts=root_cuts + sub.root_cuts,
-                tree_cuts=sub.tree_cuts,
-                compile_time_sec=compile_total + sub.compile_time_sec,
-            )
-
-    # ---- background closure worker (main loop only) ----
+    # ---- background closure worker ----
+    # Installed BEFORE the root closure attempt: with the worker
+    # available, refresh_root_bound skips its inline (blocking)
+    # sessions entirely and the ladder runs beside the root phases,
+    # the compact rebase, and every node window.
     if bnb.async_closure and obj_is_integral:
         from sypha_tpu import native as _native
 
@@ -1951,13 +1888,141 @@ def _branch_and_bound(
         # sessions run CONCURRENTLY with the tree, so generous slices cost
         # nothing but a delayed bound lift; refutation cost grows ~5x per
         # probe unit, so size the first slice of each level from the last
-        # completed refutation instead of re-climbing a fixed ladder
+        # completed refutation, and grow 3x per inconclusive attempt (the
+        # DFS is stateless across sessions — steep growth caps the
+        # re-climb waste at ~1.5x of the final successful slice)
         base_slice = (
-            max(30.0, 5.0 * _last_refute_sec) if _last_refute_sec else 15.0
+            max(20.0, 5.0 * _last_refute_sec) if _last_refute_sec else 15.0
         )
-        slice_sec = min(base_slice * (2.0 ** att), 300.0, remaining)
-        aclosure.start(level, closure_seed["y"], slice_sec, kind)
+        slice_sec = min(base_slice * (3.0 ** att), 300.0, remaining)
+        aclosure.start(
+            level, closure_seed["y"], slice_sec, kind, cuts=closure_cuts()
+        )
         return False
+
+    # Root closure attempt: iterate reduced-cost fixing to a fixpoint and
+    # hand the root duals to the exact face enumeration — the Lagrangian
+    # bound refutes budget incumbent-1 directly on scp4x/5x-class models
+    # (scp48: 4 s on the FULL 1000-column model), often closing the search
+    # before any branching.  Skipped when the root LP already closed the
+    # gap (the main loop's first check then declares optimal immediately).
+    if not gap_closed():
+        refresh_root_bound()
+        if aclosure is not None and not time_up():
+            async_closure_step()
+
+    # ---- compact re-solve (rebase to a smaller padded bucket) ----
+    # The improving-preserving reductions above mask columns but the node
+    # LPs still solve at the ORIGINAL padded width: every window GEMM pays
+    # for columns that can never enter an improving solution (scpnre1:
+    # 401/5000 active after the rc-fix fixpoint, ~13x excess FLOPs).  The
+    # reference physically removes columns and remaps nodes
+    # (rebuildCsrAfterRemoval, src/sypha_node_sparse.cpp:224-282;
+    # remap_branch_node, src/sypha_solver_bnb.cpp:300-333); the
+    # shape-static TPU analogue is a one-time REBASE: compact the model to
+    # (active | incumbent-support) columns and delegate the remaining
+    # search to a recursive branch_and_bound on the small bucket.
+    # Soundness: any solution strictly better than the incumbent survives
+    # the maskings, and the incumbent's own support is carried, so
+    # global_optimum = min(best_obj, compact_optimum) and every compact
+    # dual bound is a valid global bound; OPTIMAL carries over.  The
+    # compact run's own root phase re-fixes against its (improving)
+    # incumbents, so the rebase compounds with every later reduction.
+    if (
+        bnb.compact_resolve
+        and _compact_depth < 2
+        and restrict_active is None
+        and ckpt is None
+        and np.isfinite(best_obj)
+        and not gap_closed()
+        and not time_up()
+        and len(frontier) == 1
+        and not frontier[0].decisions
+    ):
+        keep = base.active | (best_solution[:n_input] > 0.5)
+        new_n = int(keep.sum())
+        old_np = solver._bucket[1] or _round_up(
+            base.ncols + base.nrows + _NodeLpSolver.CUT_HEADROOM, 128
+        )
+        new_np = _round_up(
+            new_n + base.nrows_cover + _NodeLpSolver.CUT_HEADROOM, 128
+        )
+        if new_np <= bnb.compact_frac * old_np:
+            # harvest any in-flight async refutation first: the child's
+            # warm_lower inherits whatever the ladder proved by now (a
+            # session still running keeps refining the PARENT base — its
+            # result would be globally valid but has no one to report to)
+            if aclosure is not None and aclosure.busy():
+                aclosure.join(
+                    min(5.0, max(0.0, deadline - time.monotonic()))
+                    if np.isfinite(deadline)
+                    else 5.0
+                )
+            if aclosure is not None:
+                async_closure_step(start_new=False)
+            # the harvest may have CLOSED the search (refuted find /
+            # lifted bound to the incumbent): skip the rebase, the
+            # main loop's first gap check then returns OPTIMAL
+            if frontier and not gap_closed():
+                compact_model, cols = _compact_scp(
+                    base, keep, f"{model.name}@compact{_compact_depth + 1}"
+                )
+                remaining = (
+                    max(1.0, deadline - time.monotonic())
+                    if np.isfinite(deadline)
+                    else 0.0
+                )
+                log.info(
+                    f"Compact re-solve: rebasing {new_n}/{n_input} columns "
+                    f"(bucket {old_np} -> {new_np}), delegating the search"
+                )
+                sub = branch_and_bound(
+                    compact_model,
+                    cfg.replace(
+                        bnb=bnb.replace(
+                            hard_time_limit_sec=remaining, checkpoint_path=""
+                        )
+                    ),
+                    log,
+                    mesh=mesh,
+                    warm_incumbent=(best_solution[cols], best_obj),
+                    warm_lower=(
+                        global_lower if np.isfinite(global_lower) else None
+                    ),
+                    _compact_depth=_compact_depth + 1,
+                    _pool=pool,
+                )
+                obj = best_obj
+                x_out = best_solution
+                src = incumbent_source
+                if np.isfinite(sub.objective) and sub.objective <= best_obj + px_tol:
+                    x_out = np.zeros(n_input)
+                    x_out[cols[np.flatnonzero(sub.solution > 0.5)]] = 1.0
+                    obj = float(base.costs @ x_out)
+                    src = sub.incumbent_source
+                dual = max(
+                    global_lower if np.isfinite(global_lower) else -np.inf,
+                    sub.dual_bound,
+                )
+                optimal = sub.status == MilpStatus.OPTIMAL or (
+                    np.isfinite(dual) and compute_mip_gap(obj, dual) <= mip_gap_tol
+                )
+                return MilpResult(
+                    status=MilpStatus.OPTIMAL if optimal else MilpStatus.FEASIBLE,
+                    objective=obj,
+                    dual_bound=obj if optimal else dual,
+                    mip_gap=0.0 if optimal else compute_mip_gap(obj, dual),
+                    nodes_processed=sub.nodes_processed,
+                    total_lp_iterations=sub.total_lp_iterations,
+                    solution=x_out,
+                    incumbent_source=src,
+                    wall_time_sec=(
+                        time.monotonic() - t_start - sub.compile_time_sec
+                    ),
+                    root_cuts=root_cuts + sub.root_cuts,
+                    tree_cuts=sub.tree_cuts,
+                    compile_time_sec=compile_total + sub.compile_time_sec,
+                )
 
     while processed < bnb.max_nodes:
         now = time.monotonic()

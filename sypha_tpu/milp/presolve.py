@@ -375,6 +375,7 @@ def exact_small_cover(
     time_limit_sec: float = 3.0,
     max_cols: int = 384,
     duals=None,
+    cuts=None,
 ):
     """Implicit enumeration over the ACTIVE columns: find a cover with cost
     <= budget, or prove that none exists (no reference counterpart; host
@@ -398,7 +399,12 @@ def exact_small_cover(
 
     from sypha_tpu import native
 
-    nat = native.exact_cover(model, budget, time_limit_sec, duals=duals)
+    # cuts (w, coef, rhs) arm the native engine's static cut-row Lagrangian
+    # term; the Python fallback DFS below ignores them (its bounds are then
+    # merely weaker — cuts never change which covers exist at the budget)
+    nat = native.exact_cover(
+        model, budget, time_limit_sec, duals=duals, cuts=cuts
+    )
     if nat is not None:
         # the native engine ran: trust its verdict, including an
         # inconclusive (None, None) timeout — re-running the much slower

@@ -100,6 +100,14 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         i64p, i32p, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, f64p, u8p,
     ]
+    if hasattr(lib, "sypha_exact_cover_cuts"):
+        lib.sypha_exact_cover_cuts.restype = ctypes.c_int
+        lib.sypha_exact_cover_cuts.argtypes = [
+            u64p, ctypes.c_int64, f64p, u8p, ctypes.c_int64,
+            i64p, i32p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, f64p, u8p,
+            f64p, f64p, f64p, ctypes.c_int64,
+        ]
     return lib
 
 
@@ -256,12 +264,16 @@ def greedy_set_cover(model):
     return (float(obj.value), selected[:nsel].astype(np.int64))
 
 
-def exact_cover(model, budget: float, deadline_sec: float, duals=None):
+def exact_cover(model, budget: float, deadline_sec: float, duals=None,
+                cuts=None):
     """Native implicit enumeration (sypha_exact_cover): find a cover with
     cost <= budget among active columns or prove none exists.  ``duals``
     (optional, per covering row) arms the LP-dual Lagrangian bound — any
     y >= 0 is admissible; near-optimal LP duals make plateau faces
-    refutable at hundreds of columns.
+    refutable at hundreds of columns.  ``cuts`` (optional, requires duals)
+    = (w[nc], coef[nc, ncols], rhs[nc]) arms the static cut-row Lagrangian
+    term: the cut-strengthened LP bound exceeds the plain LP bound the
+    covering-row ascent is capped by.
 
     Returns (True, x) / (False, None) / None when the library is absent or
     the deadline fired (caller falls back / treats as inconclusive)."""
@@ -287,20 +299,47 @@ def exact_cover(model, budget: float, deadline_sec: float, duals=None):
         # whole MILP search that produced this face
         os.makedirs(dump_dir, exist_ok=True)
         tag = f"face_{int(time.monotonic_ns())}"
+        extra = {}
+        if cuts is not None:
+            extra = dict(
+                cut_w=np.asarray(cuts[0], dtype=np.float64),
+                cut_coef=np.asarray(cuts[1], dtype=np.float64),
+                cut_rhs=np.asarray(cuts[2], dtype=np.float64),
+            )
         np.savez_compressed(
             os.path.join(dump_dir, tag),
             masks=ar.masks, costs=ar.costs, active=active,
             col_ptr=ar.col_ptr, col_idx=ar.col_idx,
             nrows=np.int64(ar.nrows), nwords=np.int64(ar.nwords),
             budget=np.float64(budget), deadline=np.float64(deadline_sec),
-            duals=y,
+            duals=y, **extra,
         )
-    rc = lib.sypha_exact_cover(
-        ar.masks, ctypes.c_int64(ar.nwords), ar.costs, active,
-        ctypes.c_int64(ar.ncols), ar.col_ptr, ar.col_idx,
-        ctypes.c_int64(ar.nrows),
-        float(budget), float(deadline_sec), y, out,
-    )
+    if cuts is not None and hasattr(lib, "sypha_exact_cover_cuts"):
+        cut_w, cut_coef, cut_rhs = cuts
+        cut_w = np.ascontiguousarray(
+            np.nan_to_num(np.asarray(cut_w, dtype=np.float64),
+                          nan=0.0, posinf=0.0, neginf=0.0)
+        )
+        cut_coef = np.ascontiguousarray(
+            np.asarray(cut_coef, dtype=np.float64)
+        )
+        cut_rhs = np.ascontiguousarray(np.asarray(cut_rhs, dtype=np.float64))
+        nc = int(len(cut_w))
+        assert cut_coef.shape == (nc, model.ncols), cut_coef.shape
+        rc = lib.sypha_exact_cover_cuts(
+            ar.masks, ctypes.c_int64(ar.nwords), ar.costs, active,
+            ctypes.c_int64(ar.ncols), ar.col_ptr, ar.col_idx,
+            ctypes.c_int64(ar.nrows),
+            float(budget), float(deadline_sec), y, out,
+            cut_w, cut_coef, cut_rhs, ctypes.c_int64(nc),
+        )
+    else:
+        rc = lib.sypha_exact_cover(
+            ar.masks, ctypes.c_int64(ar.nwords), ar.costs, active,
+            ctypes.c_int64(ar.ncols), ar.col_ptr, ar.col_idx,
+            ctypes.c_int64(ar.nrows),
+            float(budget), float(deadline_sec), y, out,
+        )
     if rc == 1:
         return True, out.astype(np.float64)
     if rc == 0:

@@ -268,3 +268,43 @@ def test_sample_cover_finds_budgeted_cover():
     assert base.costs @ (found > 0.5) <= 5.0
     # impossible budget must fail
     assert sample_cover(base, res.x, budget=3.0, tries=50) is None
+
+
+def test_exact_cover_with_cut_lagrangian():
+    """The cut-armed native engine must agree with the plain verdicts:
+    a valid CG cut only strengthens bounds, never changes which covers
+    exist at a budget."""
+    import numpy as np
+
+    from sypha_tpu.io.scp_reader import parse_scp_text
+    from sypha_tpu.milp.base_model import BaseModel
+    from sypha_tpu.milp.presolve import exact_small_cover
+    from sypha_tpu import native
+
+    if native.get_lib() is None or not hasattr(
+        native.get_lib(), "sypha_exact_cover_cuts"
+    ):
+        import pytest
+
+        pytest.skip("native cut engine unavailable")
+
+    tiny = """3 4
+2 3 4 5
+2 1 2
+2 2 3
+3 1 3 4
+"""
+    base = BaseModel(parse_scp_text(tiny))
+    # optimum {0, 1} costs 5; no single column covers all rows, so
+    # sum_j x_j >= 2 is a valid cut.  Arm it with dual weight 1.
+    cuts = (
+        np.array([1.0]),
+        np.ones((1, base.ncols)),
+        np.array([2.0]),
+    )
+    duals = np.ones(base.nrows_cover)
+    v, x = exact_small_cover(base, 4.0 + 1e-6, 5.0, duals=duals, cuts=cuts)
+    assert v is False  # no cover of cost <= 4
+    v, x = exact_small_cover(base, 5.0 + 1e-6, 5.0, duals=duals, cuts=cuts)
+    assert v is True
+    assert float(base.costs @ (x > 0.5)) == 5.0
