@@ -998,6 +998,8 @@ int exact_cover_impl(
         // where it also sharpens every in-tree ascent and shrinks every
         // DFS candidate loop.
         const bool ec_stats = std::getenv("SYPHA_EC_STATS") != nullptr;
+        const char* probe_env = std::getenv("SYPHA_EC_PROBE");
+        const bool strong_probe = !(probe_env && probe_env[0] == '0');
         std::vector<uint8_t> dead(k, 0);
         const double cm0 = ctx.ncuts ? ctx.cut_mass() : 0.0;
         for (int round = 0; round < 32; ++round) {
@@ -1015,6 +1017,51 @@ int exact_cover_impl(
                 if (ctx.lbr(lb_u + cm0 + ctx.redc[i]) > budget + 1e-9) {
                     dead[i] = 1;
                     ++dropped;
+                }
+            }
+            // Strong probing: for each survivor i, tentatively CHOOSE i —
+            // zero the multipliers of i's rows (returning their mass to the
+            // candidates' slack) and RE-ASCEND over the remaining rows.  Any
+            // cover containing i costs >= c_i + the re-ascended mass, and
+            // reallocation makes that strictly stronger than the static
+            // lb_u + redc_i test above (which never moves the freed mass).
+            // Probes are undone via the ulog, so the baseline u is intact.
+            // Cut mass is omitted inside probes (rho would shift with i):
+            // dropping a nonnegative term keeps the bound admissible.
+            if (strong_probe) {
+                std::vector<uint64_t> pcov(static_cast<size_t>(nwords));
+                int iprobe = 0;
+                for (size_t i = 0; i < k; ++i) {
+                    if (dead[i]) continue;
+                    if ((++iprobe & 63) == 0 &&
+                        std::chrono::steady_clock::now() >= ctx.deadline)
+                        break;
+                    const uint64_t* mi =
+                        ctx.masks + i * static_cast<size_t>(nwords);
+                    for (int64_t w = 0; w < nwords; ++w)
+                        pcov[static_cast<size_t>(w)] = mi[w];
+                    const size_t pmark = ctx.ulog.size();
+                    double lb_i = lb_u;
+                    for (int64_t w = 0; w < nwords; ++w) {
+                        uint64_t hit = mi[w] & full[static_cast<size_t>(w)];
+                        while (hit) {
+                            const int bit = __builtin_ctzll(hit);
+                            hit &= hit - 1;
+                            const int32_t rr =
+                                static_cast<int32_t>((w << 6) + bit);
+                            const double ur = ctx.u[static_cast<size_t>(rr)];
+                            if (ur != 0.0) {
+                                dual_apply(ctx, rr, -ur);
+                                lb_i -= ur;
+                            }
+                        }
+                    }
+                    lb_i = ascend_pass(ctx, pcov, lb_i, 2);
+                    ascend_undo(ctx, pmark);
+                    if (ctx.lbr(c[i] + lb_i) > budget + 1e-9) {
+                        dead[i] = 1;
+                        ++dropped;
+                    }
                 }
             }
             if (ec_stats)
