@@ -28,6 +28,7 @@ TPU-first deviations:
 
 from __future__ import annotations
 
+import queue
 import threading
 import time
 from dataclasses import dataclass, field
@@ -436,7 +437,7 @@ class _NodeLpSolver:
 
 
 class _AsyncClosure:
-    """Runs exact-cover probe sessions on a background thread.
+    """Runs the exact-cover refutation LADDER on a background thread.
 
     The native DFS (csrc sypha_exact_cover, via ctypes → GIL released) is
     pure host work while the node windows are pure device work: running
@@ -445,12 +446,22 @@ class _AsyncClosure:
     for every 8-120 s session — on scpnre1 that starved the tree to 16
     nodes in 300 s).
 
+    The worker SELF-CHAINS the bottom-up ladder (refute level b, then
+    b+1, ...) instead of waiting for the main loop to schedule each probe
+    — the main thread polls between node windows, so a mid-run XLA
+    compile (100 s+ through the remote-compile pool) used to leave the
+    worker idle for its whole duration even when each refutation took
+    under 2 s (measured on scp46: 0.5 s refutes separated by 105 s
+    gaps).  Results stream through a queue the main thread drains; the
+    shared box carries the live incumbent ceiling / proven floor down
+    and lets the main thread request a stop between slices.
+
     Thread-safety: the worker reads ``base.active`` (and the immutable
     cost/mask arrays) while the main thread may MASK more columns.  Masking
     only clears bits, and every intermediate mask is a superset of the
     final one, so any torn read is itself an improving-solution-preserving
     active set — a refutation over it is globally valid.  Results are only
-    APPLIED by the main thread via poll().
+    APPLIED by the main thread via poll_all().
     """
 
     def __init__(self, base: BaseModel, int_tol: float, log: Logger):
@@ -458,55 +469,130 @@ class _AsyncClosure:
         self.int_tol = int_tol
         self.log = log
         self._thread = None
-        self._job = None
-        self._box = None
+        self._results = queue.SimpleQueue()
+        self._shared = None
 
     def busy(self) -> bool:
         return self._thread is not None and self._thread.is_alive()
 
-    def start(
-        self, budget: float, duals, slice_sec: float, kind: str, cuts=None
+    def update(self, best_obj: float, floor: float):
+        """Publish the live incumbent ceiling and proven floor: the worker
+        reads them between slices (fast-forwards past levels the tree
+        proved, stops once the ladder reaches incumbent-1)."""
+        if self._shared is not None:
+            self._shared["best_obj"] = best_obj
+            self._shared["floor"] = floor
+
+    def stop(self):
+        """Request the ladder end after the CURRENT slice (the native DFS
+        runs to its own deadline and cannot be interrupted)."""
+        if self._shared is not None:
+            self._shared["stop"] = True
+
+    def start_ladder(
+        self,
+        probe0: float,
+        best_obj: float,
+        seed_fn,
+        deadline_mono: float,
+        last_refute_sec: float,
+        attempts: dict,
+        first_slice_cap: Optional[float] = None,
     ):
-        """kind: 'refute' (budget = probe level) or 'find' (budget =
-        incumbent - 1, the pincer)."""
+        """Run refutations from ``probe0`` upward until incumbent-1 is
+        refuted (incumbent optimal), a cover is found (new incumbent —
+        the main thread restarts the ladder), time runs out, or stop is
+        requested.  ``seed_fn() -> (duals, cuts)`` is re-read before every
+        slice so later (stronger) LP duals arm later probes.  ``attempts``
+        persists per-level inconclusive counts across ladder restarts.
+        ``first_slice_cap`` bounds the first slice so a ladder started
+        just before the compact rebase cannot outlive the rebase by more
+        than that (the rebase delegates to a child solve whose own worker
+        would otherwise share the host core with a stale parent slice)."""
         assert not self.busy()
         from sypha_tpu.milp.presolve import exact_small_cover
 
-        box = {}
-        base, tol = self.base, self.int_tol
+        shared = {"best_obj": best_obj, "floor": probe0, "stop": False}
+        self._shared = shared
+        base, tol, results = self.base, self.int_tol, self._results
 
         def work():
-            t0 = time.monotonic()
+            level = probe0
+            last_ref = last_refute_sec
+            first = True
             try:
-                v, x = exact_small_cover(
-                    base, budget + tol, time_limit_sec=slice_sec,
-                    duals=duals, cuts=cuts,
-                )
+                while not shared["stop"]:
+                    ceiling = shared["best_obj"] - 1.0
+                    fl = shared["floor"]
+                    if np.isfinite(fl):
+                        level = max(level, float(np.round(fl)))
+                    if level > ceiling + tol:
+                        break
+                    remaining = deadline_mono - time.monotonic()
+                    if not np.isfinite(remaining):
+                        remaining = 600.0
+                    if remaining < 1.0:
+                        break
+                    rk = ("refute", int(round(level)))
+                    fk = ("find", int(round(ceiling)))
+                    ra, fa = attempts.get(rk, 0), attempts.get(fk, 0)
+                    # pincer: once the bottom-up level stalled twice, spend
+                    # a slice probing TOP-DOWN at incumbent-1 (a refutation
+                    # there is the optimality proof outright)
+                    if level < ceiling - 1e-9 and ra >= fa + 2:
+                        kind, lvl, att = "find", ceiling, fa
+                    else:
+                        kind, lvl, att = "refute", level, ra
+                    # refuting the ceiling IS the optimality proof: go
+                    # all-in (half the clock on the first try, everything
+                    # on the second) instead of the 3x ladder climb
+                    final_proof = kind == "refute" and lvl >= ceiling - 1e-9
+                    if final_proof:
+                        slice_sec = remaining if att else max(20.0, remaining / 2.0)
+                    else:
+                        base_slice = (
+                            max(20.0, 5.0 * last_ref) if last_ref else 15.0
+                        )
+                        slice_sec = min(base_slice * (3.0 ** att), 300.0)
+                    slice_sec = min(slice_sec, remaining)
+                    if first and first_slice_cap is not None:
+                        slice_sec = min(slice_sec, first_slice_cap)
+                    first = False
+                    duals, cuts = seed_fn()
+                    t0 = time.monotonic()
+                    v, x = exact_small_cover(
+                        base, lvl + tol, time_limit_sec=slice_sec,
+                        duals=duals, cuts=cuts,
+                    )
+                    sec = time.monotonic() - t0
+                    results.put(dict(kind=kind, level=lvl, verdict=v, x=x, sec=sec))
+                    if v is False:
+                        if kind == "find":
+                            break  # incumbent proven optimal
+                        last_ref = sec
+                        level = lvl + 1.0
+                    elif v is True:
+                        break  # found a cover: main applies + restarts
+                    else:
+                        attempts[(kind, int(round(lvl)))] = att + 1
             except Exception as e:  # never kill the solve from the worker
-                box["out"] = (None, None)
-                box["err"] = repr(e)
-            else:
-                box["out"] = (v, x)
-            box["sec"] = time.monotonic() - t0
+                results.put(dict(
+                    kind="refute", level=0.0, verdict=None, x=None,
+                    sec=0.0, err=repr(e),
+                ))
 
-        self._job = dict(budget=budget, kind=kind, slice=slice_sec)
-        self._box = box
         self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
 
-    def poll(self):
-        """Non-blocking: returns (job, verdict, x, sec) once the running
-        session finished, else None."""
-        if self._thread is None or self._thread.is_alive():
-            return None
-        job, box = self._job, self._box
-        self._thread = None
-        self._job = None
-        self._box = None
-        if "err" in box:
-            self.log.warn(f"async closure session failed: {box['err']}")
-        v, x = box.get("out", (None, None))
-        return job, v, x, box.get("sec", 0.0)
+    def poll_all(self):
+        """Non-blocking: drain every finished slice result, oldest first."""
+        out = []
+        while True:
+            try:
+                out.append(self._results.get_nowait())
+            except queue.Empty:
+                break
+        return out
 
     def join(self, timeout: float):
         if self._thread is not None:
@@ -1812,24 +1898,26 @@ def _branch_and_bound(
     _closure_attempts: dict = {}
     _last_refute_sec = 0.0
 
-    def async_closure_step(start_new: bool = True) -> bool:
-        """Apply a finished background closure session and keep the worker
-        saturated.  Returns True when the session CLOSED the search
-        (frontier cleared) — the caller's gap check then declares optimal.
+    def async_closure_step(
+        start_new: bool = True, first_slice_cap: Optional[float] = None
+    ) -> bool:
+        """Drain finished ladder slices, apply their verdicts, and (re)arm
+        the self-chaining worker.  Returns True when a slice CLOSED the
+        search (frontier cleared) — the caller's gap check then declares
+        optimal.
 
-        Session policy mirrors the inline ladder: bottom-up refutations at
-        the proven bound with per-level doubling budgets, plus the pincer
-        top-down find at incumbent-1 once the bottom-up level stalls."""
+        The worker owns the ladder policy (bottom-up refutations with
+        growing slices, the pincer find, the all-in final proof); this
+        side only applies results and feeds the live ceiling/floor back."""
         nonlocal _closure_attempts, _last_refute_sec
-        done = aclosure.poll()
-        if done is not None:
-            job, v, x, sec = done
-            level = job["budget"]
-            key = (job["kind"], int(round(level)))
+        closed = False
+        for r in aclosure.poll_all():
+            if r.get("err"):
+                log.warn(f"async closure session failed: {r['err']}")
+                continue
+            v, x, sec, level = r["verdict"], r["x"], r["sec"], r["level"]
             if v is False:
-                if job["kind"] == "refute":
-                    _last_refute_sec = sec
-                if job["kind"] == "find":
+                if r["kind"] == "find":
                     log.info(
                         f"Async probe refuted every cost <= {level:.6g} over "
                         f"{base.n_active} active columns ({sec:.1f}s) — "
@@ -1838,7 +1926,9 @@ def _branch_and_bound(
                     lift_bound_to(best_obj)
                     frontier.clear()
                     numerical_failures.clear()
-                    return True
+                    closed = True
+                    continue
+                _last_refute_sec = sec
                 lifted = min(level + 1.0, best_obj)
                 log.info(
                     f"Async face probe refuted cost <= {level:.6g} over "
@@ -1855,8 +1945,13 @@ def _branch_and_bound(
                     if reduce_by_incumbent():
                         solver.refresh()
                     _closure_attempts = {}
-            else:
-                _closure_attempts[key] = _closure_attempts.get(key, 0) + 1
+        if closed:
+            aclosure.stop()
+            return True
+        # feed the live incumbent ceiling / proven floor to the worker
+        aclosure.update(
+            best_obj, global_lower if np.isfinite(global_lower) else -np.inf
+        )
         if (
             not start_new
             or aclosure.busy()
@@ -1878,25 +1973,14 @@ def _branch_and_bound(
         )
         if remaining < 2.0:
             return False
-        rk = ("refute", int(round(probe)))
-        fk = ("find", int(round(best_obj - 1.0)))
-        ra, fa = _closure_attempts.get(rk, 0), _closure_attempts.get(fk, 0)
-        if probe < best_obj - 1.0 - px_tol and ra >= fa + 2:
-            kind, level, att = "find", best_obj - 1.0, fa
-        else:
-            kind, level, att = "refute", probe, ra
-        # sessions run CONCURRENTLY with the tree, so generous slices cost
-        # nothing but a delayed bound lift; refutation cost grows ~5x per
-        # probe unit, so size the first slice of each level from the last
-        # completed refutation, and grow 3x per inconclusive attempt (the
-        # DFS is stateless across sessions — steep growth caps the
-        # re-climb waste at ~1.5x of the final successful slice)
-        base_slice = (
-            max(20.0, 5.0 * _last_refute_sec) if _last_refute_sec else 15.0
-        )
-        slice_sec = min(base_slice * (3.0 ** att), 300.0, remaining)
-        aclosure.start(
-            level, closure_seed["y"], slice_sec, kind, cuts=closure_cuts()
+        aclosure.start_ladder(
+            probe,
+            best_obj,
+            lambda: (closure_seed["y"], closure_cuts()),
+            deadline,
+            _last_refute_sec,
+            _closure_attempts,
+            first_slice_cap=first_slice_cap,
         )
         return False
 
@@ -1909,7 +1993,10 @@ def _branch_and_bound(
     if not gap_closed():
         refresh_root_bound()
         if aclosure is not None and not time_up():
-            async_closure_step()
+            # cap the first slice: the compact-rebase decision right below
+            # may hand the search to a child solve, and a stale parent
+            # slice competes with the child for the (single) host core
+            async_closure_step(first_slice_cap=60.0)
 
     # ---- compact re-solve (rebase to a smaller padded bucket) ----
     # The improving-preserving reductions above mask columns but the node
@@ -1953,6 +2040,7 @@ def _branch_and_bound(
             # session still running keeps refining the PARENT base — its
             # result would be globally valid but has no one to report to)
             if aclosure is not None and aclosure.busy():
+                aclosure.stop()  # end the ladder after the current slice
                 aclosure.join(
                     min(5.0, max(0.0, deadline - time.monotonic()))
                     if np.isfinite(deadline)
@@ -2395,6 +2483,7 @@ def _branch_and_bound(
     # while the loop was exiting still lifts the reported bound (and the
     # frontier floors), and a found cover still improves the incumbent
     if aclosure is not None and aclosure.busy():
+        aclosure.stop()  # no chaining past the run's end
         aclosure.join(
             min(2.0, max(0.0, deadline - time.monotonic()))
             if np.isfinite(deadline)

@@ -457,11 +457,13 @@ def test_compact_resolve_end_to_end(monkeypatch):
     assert BaseModel(m).is_cover(r.solution)
 
 
-def test_async_closure_worker_refutes_and_finds():
-    """_AsyncClosure runs exact-cover sessions on a background thread:
-    a refute session at optimum-1 proves no better cover exists, a find
-    session at the optimum returns one (r3: the sessions used to run
-    inline, blocking the tree for their whole budget)."""
+def test_async_closure_worker_self_chains_the_ladder():
+    """_AsyncClosure runs the refutation ladder on a background thread and
+    SELF-CHAINS the levels (r3b: the main loop used to schedule one probe
+    per poll, so a mid-run XLA compile left the worker idle between
+    trivially fast refutations).  Started below the optimum, one ladder
+    must refute every level below it and then find the optimal cover,
+    without any main-thread involvement beyond the result drain."""
     import time
 
     from sypha_tpu.milp.bnb import _AsyncClosure
@@ -471,21 +473,29 @@ def test_async_closure_worker_refutes_and_finds():
     opt = scipy_milp_optimum(parse_scp_text(TINY))
     w = _AsyncClosure(base, 1e-6, Logger(verbosity=0))
 
-    def run(budget, kind):
-        w.start(budget, None, 5.0, kind)
-        assert w.busy() or w.poll is not None
-        deadline = time.monotonic() + 30.0
-        while True:
-            out = w.poll()
-            if out is not None:
-                return out
-            assert time.monotonic() < deadline, "worker never finished"
-            time.sleep(0.01)
+    w.start_ladder(
+        probe0=opt - 2.0,
+        best_obj=opt + 3.0,  # ceiling above the optimum: the find fires
+        seed_fn=lambda: (None, None),
+        deadline_mono=time.monotonic() + 30.0,
+        last_refute_sec=0.0,
+        attempts={},
+    )
+    results = []
+    deadline = time.monotonic() + 30.0
+    while w.busy() or not results:
+        results.extend(w.poll_all())
+        if results and results[-1]["verdict"] is True:
+            break
+        assert time.monotonic() < deadline, "ladder never finished"
+        time.sleep(0.01)
+    results.extend(w.poll_all())
+    w.join(5.0)
 
-    job, v, x, sec = run(opt - 1.0, "refute")
-    assert job["kind"] == "refute" and v is False, (v, x)
-
-    job, v, x, sec = run(opt, "find")
-    assert v is True
-    assert float(base.costs @ (x > 0.5)) == opt
+    # every level below the optimum refuted, in order, by ONE ladder
+    refuted = [r["level"] for r in results if r["verdict"] is False]
+    assert refuted == [opt - 2.0, opt - 1.0], results
+    found = [r for r in results if r["verdict"] is True]
+    assert len(found) == 1
+    assert float(base.costs @ (found[0]["x"] > 0.5)) == opt
     assert not w.busy()
