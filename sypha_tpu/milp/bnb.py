@@ -544,11 +544,12 @@ class _AsyncClosure:
                     else:
                         kind, lvl, att = "refute", level, ra
                     # refuting the ceiling IS the optimality proof: go
-                    # all-in (half the clock on the first try, everything
-                    # on the second) instead of the 3x ladder climb
+                    # all-in immediately — the DFS is stateless, so a
+                    # failed half-clock attempt would leave the retry LESS
+                    # time than the attempt that just failed
                     final_proof = kind == "refute" and lvl >= ceiling - 1e-9
                     if final_proof:
-                        slice_sec = remaining if att else max(20.0, remaining / 2.0)
+                        slice_sec = remaining
                     else:
                         base_slice = (
                             max(20.0, 5.0 * last_ref) if last_ref else 15.0
