@@ -514,8 +514,19 @@ struct ExactCoverCtx {
         return costs_integral ? std::ceil(lb - dual_eps) : lb;
     }
     std::chrono::steady_clock::time_point deadline;
+    int node_sweeps = 2;   // ascent sweeps per DFS node (SYPHA_EC_SWEEPS)
+    int dom_limit = 64;    // dominance-ban n_unc gate (SYPHA_EC_DOM)
     int64_t calls = 0;
+    // work counters (printed under SYPHA_EC_STATS)
+    int64_t n_scan_rows = 0;   // bound-scan uncovered-row visits
+    int64_t n_asc_visits = 0;  // ascent candidate-slack loads
+    int64_t n_apply = 0;       // dual_apply invocations
+    int64_t n_dom_pairs = 0;   // dominance pairwise word loops
     std::vector<int32_t> chosen;
+    // per-depth child-cover buffers: the DFS visits millions of nodes and
+    // a per-candidate heap allocation for cov2 is pure overhead; siblings
+    // at the same depth reuse the same buffer sequentially
+    std::vector<std::vector<uint64_t>> cov_pool;
     bool timed_out = false;
     // --- dynamic dual-ascent bound (armed when duals are provided) ---
     // u[r] is a FEASIBLE multiplier vector (redc[i] >= 0 for every active
@@ -530,6 +541,12 @@ struct ExactCoverCtx {
     bool ascend = false;
     std::vector<double> u;
     std::vector<double> redc;
+    // branchless shadow of redc for the min-slack gathers: equals redc[i]
+    // for live columns, 1e300 for banned ones (maintained on ban/unban
+    // and in dual_apply).  The ascent's inner loop is the DFS's dominant
+    // cost (measured 14.7e9 candidate visits on the scpnre3 budget-25
+    // face) and the banned-branch blocked vectorization.
+    std::vector<double> redc_eff;
     std::vector<std::pair<int32_t, double>> ulog;
     // --- sibling-exclusion branching ---
     // Branching on row r's candidates i_1..i_k partitions the covers by
@@ -571,9 +588,14 @@ struct ExactCoverCtx {
 // redistribute it onto the still-uncovered rows — the per-node adaptive
 // reallocation that makes deep plateau nodes refutable).
 inline void dual_apply(ExactCoverCtx& ctx, int32_t r, double d) {
+    ++ctx.n_apply;
     ctx.u[static_cast<size_t>(r)] += d;
-    for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r)])
+    for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r)]) {
         ctx.redc[static_cast<size_t>(i)] -= d;
+        // banned columns' shadow stays huge (1e300 absorbs d); unban
+        // resets it from redc exactly, so no drift accumulates
+        ctx.redc_eff[static_cast<size_t>(i)] -= d;
+    }
     ctx.ulog.emplace_back(r, d);
 }
 
@@ -588,12 +610,13 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                 miss &= miss - 1;
                 const int32_t r = static_cast<int32_t>((w << 6) + bit);
                 const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
+                ctx.n_asc_visits += static_cast<int64_t>(cand.size());
                 double d = 1e300;
                 for (int32_t i : cand) {
-                    if (ctx.banned[static_cast<size_t>(i)]) continue;
-                    const double rcij = ctx.redc[static_cast<size_t>(i)];
-                    if (rcij < d) d = rcij;
+                    const double rcij = ctx.redc_eff[static_cast<size_t>(i)];
+                    d = rcij < d ? rcij : d;
                 }
+                if (d >= 1e290) d = 1e300;  // all banned == uncoverable
                 if (d >= 1e300) return 1e300;  // row uncoverable here: prune
                 if (d > 1e-12) {
                     dual_apply(ctx, r, d);
@@ -607,23 +630,63 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
     return lb_u;
 }
 
+// Targeted re-ascent after banning column `ib`: a ban only releases the
+// min-slack cap on rows where ib was a candidate, and raising those rows
+// only LOWERS other rows' remaining slack, so sweeping rows(ib) ∩
+// uncovered saturates the whole gain — a full-uncovered re-sweep per
+// refuted sibling was ~80% of all ascent work (21.6e9 candidate visits
+// on the scpnre3 budget-25 face, 18k per DFS call).
+double ascend_after_ban(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
+                        double lb_u, int32_t ib) {
+    const uint64_t* mi = ctx.masks + static_cast<size_t>(ib) * ctx.nwords;
+    for (int64_t w = 0; w < ctx.nwords; ++w) {
+        uint64_t miss = mi[w] & ctx.full[w] & ~cov[static_cast<size_t>(w)];
+        while (miss) {
+            const int bit = __builtin_ctzll(miss);
+            miss &= miss - 1;
+            const int32_t r = static_cast<int32_t>((w << 6) + bit);
+            const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
+            ctx.n_asc_visits += static_cast<int64_t>(cand.size());
+            double d = 1e300;
+            for (int32_t i : cand) {
+                if (ctx.banned[static_cast<size_t>(i)]) continue;
+                const double rcij = ctx.redc[static_cast<size_t>(i)];
+                if (rcij < d) d = rcij;
+            }
+            if (d >= 1e300) return 1e300;  // row uncoverable here: prune
+            if (d > 1e-12) {
+                dual_apply(ctx, r, d);
+                lb_u += d;
+            }
+        }
+    }
+    return lb_u;
+}
+
 void ascend_undo(ExactCoverCtx& ctx, size_t mark) {
     while (ctx.ulog.size() > mark) {
         const auto& e = ctx.ulog.back();
         ctx.u[static_cast<size_t>(e.first)] -= e.second;
-        for (int32_t i : (*ctx.by_row)[static_cast<size_t>(e.first)])
+        for (int32_t i : (*ctx.by_row)[static_cast<size_t>(e.first)]) {
             ctx.redc[static_cast<size_t>(i)] += e.second;
+            ctx.redc_eff[static_cast<size_t>(i)] += e.second;
+        }
         ctx.ulog.pop_back();
     }
 }
 
-bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost) {
+bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost,
+                     int depth) {
     if ((++ctx.calls & 4095) == 0 &&
         std::chrono::steady_clock::now() >= ctx.deadline) {
         ctx.timed_out = true;
         return false;
     }
-    // one pass: lower bounds + most-constrained uncovered row
+    // one pass: lower bounds + most-constrained uncovered row.  With the
+    // ascent armed the dynamic u-bound dominates the static spread /
+    // row-min / dual-weight bounds at every node (u starts at the
+    // theta-scaled LP duals and only ever rises), so their per-row
+    // accumulation is skipped — measured ~15% of the per-call cost.
     double lb_spread = 0.0, lb_max = 0.0, lb_dual = 0.0, lb_u = 0.0;
     int32_t r_pick = -1;
     int32_t pick_c = INT32_MAX;
@@ -631,13 +694,17 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     for (int64_t w = 0; w < ctx.nwords; ++w) {
         uint64_t miss = ctx.full[w] & ~cov[static_cast<size_t>(w)];
         n_unc += __builtin_popcountll(miss);
+        ctx.n_scan_rows += __builtin_popcountll(miss);
         while (miss) {
             const int bit = __builtin_ctzll(miss);
             const int32_t rr = static_cast<int32_t>((w << 6) + bit);
-            lb_spread += ctx.spread[rr];
-            lb_dual += ctx.dualw[rr];
-            if (ctx.ascend) lb_u += ctx.u[static_cast<size_t>(rr)];
-            if (ctx.row_min[rr] > lb_max) lb_max = ctx.row_min[rr];
+            if (ctx.ascend) {
+                lb_u += ctx.u[static_cast<size_t>(rr)];
+            } else {
+                lb_spread += ctx.spread[rr];
+                lb_dual += ctx.dualw[rr];
+                if (ctx.row_min[rr] > lb_max) lb_max = ctx.row_min[rr];
+            }
             if (ctx.n_cands[rr] < pick_c) { pick_c = ctx.n_cands[rr]; r_pick = rr; }
             miss &= miss - 1;
         }
@@ -653,7 +720,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     if (ctx.ascend) {
         // greedy dual ascent on the uncovered rows: feasible-u mass is a
         // per-node-adaptive Lagrangian bound (undone on backtrack)
-        lb_u = ascend_pass(ctx, cov, lb_u);
+        lb_u = ascend_pass(ctx, cov, lb_u, ctx.node_sweeps);
         if (lb_u >= 1e299 ||
             cost + ctx.lbr(lb_u + cmass) > ctx.budget + 1e-9) {
             ascend_undo(ctx, umark);
@@ -685,7 +752,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     // uncovered sets: on wide-open nodes random coverage supersets are
     // vanishingly rare (measured 0 bans on scpnre probes) and the pairwise
     // scan is pure overhead.
-    if (n_unc <= 64) {
+    if (n_unc <= ctx.dom_limit) {
         const auto& cand = (*ctx.by_row)[static_cast<size_t>(r_pick)];
         const size_t kc = cand.size();
         for (size_t a = 1; a < kc; ++a) {
@@ -695,6 +762,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             for (size_t bidx = 0; bidx < a; ++bidx) {
                 const int32_t j = cand[bidx];
                 if (ctx.banned[static_cast<size_t>(j)]) continue;
+                ++ctx.n_dom_pairs;
                 const uint64_t* mj = ctx.masks + static_cast<size_t>(j) * ctx.nwords;
                 bool subset = true;
                 for (int64_t w = 0; w < ctx.nwords; ++w) {
@@ -704,6 +772,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
                 }
                 if (subset) {
                     ctx.banned[static_cast<size_t>(i)] = 1;
+                    ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
                     bans_here.push_back(i);
                     break;
                 }
@@ -718,6 +787,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // qualifying completion containing i costs > budget: ban it
         if (cost + ctx.lbr(lb_dual + ctx.rc[i]) > ctx.budget + 1e-9) {
             ctx.banned[static_cast<size_t>(i)] = 1;
+            ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
             bans_here.push_back(i);
             continue;
         }
@@ -730,12 +800,17 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             cost + ctx.lbr(lb_u + cmass + ctx.redc[static_cast<size_t>(i)]) >
                 ctx.budget + 1e-9) {
             ctx.banned[static_cast<size_t>(i)] = 1;
+            ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
             bans_here.push_back(i);
             continue;
         }
-        std::vector<uint64_t> cov2(cov);
+        // pool preallocated to nrows+1 depths (each chosen column covers
+        // >= 1 new row, so depth <= nrows); resizing here would dangle the
+        // cov references held by ancestor frames
+        std::vector<uint64_t>& cov2 = ctx.cov_pool[static_cast<size_t>(depth)];
         for (int64_t w = 0; w < ctx.nwords; ++w)
-            cov2[static_cast<size_t>(w)] |=
+            cov2[static_cast<size_t>(w)] =
+                cov[static_cast<size_t>(w)] |
                 ctx.masks[static_cast<size_t>(i) * ctx.nwords + w];
         double rho_save[16];
         if (ctx.ncuts) {
@@ -766,7 +841,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         }
         ctx.chosen.push_back(i);
         const bool child_found =
-            exact_cover_dfs(ctx, cov2, cost + ctx.costs[i]);
+            exact_cover_dfs(ctx, cov2, cost + ctx.costs[i], depth + 1);
         if (ctx.ncuts)
             for (int64_t c2 = 0; c2 < ctx.ncuts; ++c2)
                 ctx.rho[c2] = rho_save[c2];
@@ -779,17 +854,23 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         if (ctx.timed_out) break;
         // branch refuted: no qualifying completion contains i
         ctx.banned[static_cast<size_t>(i)] = 1;
+        ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
         bans_here.push_back(i);
-        // the ban may tighten this node's own bound: re-ascend cheaply
-        // and re-check before the next sibling
+        // the ban may tighten this node's own bound: re-ascend the rows
+        // the ban released (rows(i) only — see ascend_after_ban) and
+        // re-check before the next sibling
         if (ctx.ascend) {
-            lb_u = ascend_pass(ctx, cov, lb_u, 1);
+            lb_u = ascend_after_ban(ctx, cov, lb_u, i);
             if (lb_u >= 1e299 ||
                 cost + ctx.lbr(lb_u + cmass) > ctx.budget + 1e-9)
                 break;
         }
     }
-    for (int32_t i : bans_here) ctx.banned[static_cast<size_t>(i)] = 0;
+    for (int32_t i : bans_here) {
+        ctx.banned[static_cast<size_t>(i)] = 0;
+        ctx.redc_eff[static_cast<size_t>(i)] =
+            ctx.redc[static_cast<size_t>(i)];
+    }
     ascend_undo(ctx, umark);
     return found;
 }
@@ -863,6 +944,8 @@ int exact_cover_impl(
     // bound is the CFT-style Lagrangian bound specialised to fixed duals.
     std::vector<double> rcv(k, 0.0), dualw(static_cast<size_t>(nrows), 0.0);
     std::vector<double> u0, redc0;
+    std::vector<double> cav, cwv, rhov;
+    int64_t nce = 0;
     double neg_rc = 0.0;
     bool ascend = false;
     if (row_dual != nullptr) {
@@ -883,66 +966,65 @@ int exact_cover_impl(
         }
         for (int64_t r = 0; r < nrows; ++r)
             dualw[static_cast<size_t>(r)] = y[static_cast<size_t>(r)] + neg_rc;
+        // --- static cut-row Lagrangian setup (see ExactCoverCtx comment) ---
+        // Gather each cut's coefficients in sorted-active order BEFORE the
+        // feasibility scaling so (y, w) scale JOINTLY.  With duals taken
+        // from the cut-strengthened LP optimum, c_i - y.rows(i) - w.a_i is
+        // >= -IPM_tol for every active column, so one joint theta stays at
+        // ~(1 - 1e-6) and the full cut-LP mass survives.  The previous
+        // two-stage scheme (theta on y, then phi on w against the already
+        // shaved redc) collapsed phi to ~0 whenever a cut touched an
+        // LP-basic column (redc ~ 0 with w.a_i > 0) — measured net-neutral
+        // for exactly that reason.  Negative coefficients (objective-cover
+        // cuts) never constrain theta upward and contribute no mass once
+        // the residual rhs goes nonpositive — harmless by construction.
+        std::vector<double> wa(k, 0.0);
+        if (nc > 0 && cut_w && cut_coef && cut_rhs) {
+            for (int64_t c2 = 0; c2 < nc && nce < 16; ++c2) {
+                const double w = cut_w[c2];
+                if (!(w > 1e-12) || w > 1e300) continue;
+                cwv.push_back(w);
+                rhov.push_back(cut_rhs[c2]);
+                for (size_t i = 0; i < k; ++i)
+                    cav.push_back(
+                        cut_coef[static_cast<size_t>(c2) *
+                                     static_cast<size_t>(ncols) +
+                                 static_cast<size_t>(act[i])]);
+                ++nce;
+            }
+            for (int64_t c2 = 0; c2 < nce; ++c2)
+                for (size_t i = 0; i < k; ++i) {
+                    const double a =
+                        cav[static_cast<size_t>(c2) * k + i];
+                    if (a > 0.0)
+                        wa[i] += cwv[static_cast<size_t>(c2)] * a;
+                }
+        }
         // feasible starting multipliers for the per-node dual ascent:
-        // u0 = theta * y with theta = min_i c_i / (y-coverage of i) <= 1,
-        // so every initial reduced cost c_i - theta*ysum_i is >= 0 and the
-        // ascent only ever raises u while keeping redc >= 0
+        // u0 = theta*y, w = theta*w_raw with
+        // theta = min_i c_i / (y-coverage + positive cut-coverage of i),
+        // so every initial reduced cost c_i - theta*(ysum_i + wa_i) >= 0
+        // and the ascent only ever raises u while keeping redc >= 0.
+        // Negative cut coefficients are EXCLUDED from the deduction (a
+        // completion through i only gains residual-rhs mass from them),
+        // keeping redc a conservative underestimate.
         double theta = 1.0;
-        for (size_t i = 0; i < k; ++i)
-            if (ysum[i] > 1e-12 && c[i] / ysum[i] < theta)
-                theta = c[i] / ysum[i];
+        for (size_t i = 0; i < k; ++i) {
+            const double load = ysum[i] + wa[i];
+            if (load > 1e-12 && c[i] / load < theta) theta = c[i] / load;
+        }
         if (theta < 0.0) theta = 0.0;
         u0.assign(static_cast<size_t>(nrows), 0.0);
         for (int64_t r = 0; r < nrows; ++r)
             u0[static_cast<size_t>(r)] = theta * y[static_cast<size_t>(r)];
+        for (int64_t c2 = 0; c2 < nce; ++c2)
+            cwv[static_cast<size_t>(c2)] *= theta;
         redc0.resize(k);
         for (size_t i = 0; i < k; ++i) {
-            redc0[i] = c[i] - theta * ysum[i];
+            redc0[i] = c[i] - theta * (ysum[i] + wa[i]);
             if (redc0[i] < 0.0) redc0[i] = 0.0;  // numerical guard
         }
         ascend = true;
-    }
-
-    // --- static cut-row Lagrangian setup (see ExactCoverCtx comment) ---
-    // Gather each cut's coefficients in sorted-active order, then jointly
-    // scale the multipliers by phi so redc0_i - phi * (w . a_i) stays
-    // >= 0 (u-feasibility is untouched; the ascent operates on the
-    // already-deducted redc).  Negative coefficients (objective-cover
-    // cuts) never constrain phi and contribute no mass once the residual
-    // rhs goes nonpositive — harmless by construction.
-    std::vector<double> cav, cwv, rhov;
-    int64_t nce = 0;
-    if (nc > 0 && ascend && cut_w && cut_coef && cut_rhs) {
-        for (int64_t c2 = 0; c2 < nc && nce < 16; ++c2) {
-            const double w = cut_w[c2];
-            if (!(w > 1e-12) || w > 1e300) continue;
-            cwv.push_back(w);
-            rhov.push_back(cut_rhs[c2]);
-            for (size_t i = 0; i < k; ++i)
-                cav.push_back(
-                    cut_coef[static_cast<size_t>(c2) *
-                                 static_cast<size_t>(ncols) +
-                             static_cast<size_t>(act[i])]);
-            ++nce;
-        }
-        if (nce) {
-            std::vector<double> wa(k, 0.0);
-            for (int64_t c2 = 0; c2 < nce; ++c2)
-                for (size_t i = 0; i < k; ++i)
-                    wa[i] += cwv[static_cast<size_t>(c2)] *
-                             cav[static_cast<size_t>(c2) * k + i];
-            double phi = 1.0;
-            for (size_t i = 0; i < k; ++i)
-                if (wa[i] > 1e-12 && redc0[i] / wa[i] < phi)
-                    phi = redc0[i] / wa[i];
-            if (phi < 0.0) phi = 0.0;
-            for (int64_t c2 = 0; c2 < nce; ++c2)
-                cwv[static_cast<size_t>(c2)] *= phi;
-            for (size_t i = 0; i < k; ++i) {
-                redc0[i] -= phi * wa[i];
-                if (redc0[i] < 0.0) redc0[i] = 0.0;
-            }
-        }
     }
 
     ExactCoverCtx ctx;
@@ -961,6 +1043,7 @@ int exact_cover_impl(
     if (ascend) {
         ctx.u = std::move(u0);
         ctx.redc = std::move(redc0);
+        ctx.redc_eff = ctx.redc;
         ctx.ulog.reserve(1024);
     }
     ctx.ncuts = nce;
@@ -970,6 +1053,16 @@ int exact_cover_impl(
     for (int64_t c2 = 0; c2 < nce; ++c2)
         ctx.rho[c2] = rhov[static_cast<size_t>(c2)];
     ctx.budget = budget;
+    ctx.cov_pool.assign(
+        static_cast<size_t>(nrows) + 1,
+        std::vector<uint64_t>(static_cast<size_t>(nwords), 0));
+    if (const char* sw = std::getenv("SYPHA_EC_SWEEPS")) {
+        const int v = std::atoi(sw);
+        if (v >= 1 && v <= 16) ctx.node_sweeps = v;
+    }
+    if (const char* dl = std::getenv("SYPHA_EC_DOM")) {
+        ctx.dom_limit = std::atoi(dl);
+    }
     ctx.dual_eps = 1e-7 * (budget > 1.0 ? budget : 1.0);
     ctx.costs_integral = true;
     for (size_t i = 0; i < k; ++i) {
@@ -1096,10 +1189,16 @@ int exact_cover_impl(
         // the ascended u is the DFS root baseline, never undone
         ctx.ulog.clear();
     }
-    const bool found = exact_cover_dfs(ctx, cov, 0.0);
+    const bool found = exact_cover_dfs(ctx, cov, 0.0, 0);
     if (std::getenv("SYPHA_EC_STATS") != nullptr)
-        std::fprintf(stderr, "[ec] dfs calls=%lld\n",
-                     static_cast<long long>(ctx.calls));
+        std::fprintf(stderr,
+                     "[ec] dfs calls=%lld scan_rows=%lld asc_visits=%lld "
+                     "apply=%lld dom_pairs=%lld\n",
+                     static_cast<long long>(ctx.calls),
+                     static_cast<long long>(ctx.n_scan_rows),
+                     static_cast<long long>(ctx.n_asc_visits),
+                     static_cast<long long>(ctx.n_apply),
+                     static_cast<long long>(ctx.n_dom_pairs));
     if (found) {
         std::fill(out_sel, out_sel + ncols, 0);
         for (int32_t i : ctx.chosen) out_sel[act[static_cast<size_t>(i)]] = 1;

@@ -1000,10 +1000,18 @@ def _branch_and_bound(
             if len(y_full) >= base.nrows_cover + ncuts
             else np.zeros(ncuts)
         )
-        cut_mass = float(
-            sum(w * c.rhs for w, c in zip(wc, base.cuts) if c.rhs > 0)
-        )
-        mass = float(y.sum()) + cut_mass
+        # Rank seeds by COVERING mass only.  Counting the cut rows' w*rhs
+        # here let a post-cut seed (covering mass 14.6 on scpnre3, the
+        # rest parked on the cut row) displace the plain-LP seed (covering
+        # mass 20.5) — and the engine's adaptive reallocation only works
+        # the covering rows, so every later probe ran ~6 units weaker.
+        # Cut mass is also POISONOUS in-tree even when the engine receives
+        # it (measured on the scpnre3 budget-23 face with joint (y,w)
+        # scaling: refute 47.9s covering-only vs TIMEOUT at 280s with the
+        # cut armed): the static w*max(0, rho_res) term evaporates as
+        # residuals saturate while the covering mass it displaced would
+        # have reallocated adaptively at every node.
+        mass = float(y.sum())
         if np.isfinite(mass) and mass > closure_seed["mass"]:
             closure_seed["y"] = y.copy()
             closure_seed["mass"] = mass
