@@ -529,8 +529,15 @@ class _AsyncClosure:
                     if level > ceiling + tol:
                         break
                     remaining = deadline_mono - time.monotonic()
-                    if not np.isfinite(remaining):
-                        remaining = 600.0
+                    no_deadline = not np.isfinite(remaining)
+                    if no_deadline:
+                        # no wall-clock deadline: re-arm in short slices so
+                        # shared["stop"] is honored promptly (the native
+                        # DFS is uninterruptible once dispatched — a single
+                        # 600 s slice would keep burning a host core long
+                        # after stop(), e.g. into the next solve of a
+                        # sequential benchmark sweep)
+                        remaining = 60.0
                     if remaining < 1.0:
                         break
                     rk = ("refute", int(round(level)))
@@ -549,7 +556,15 @@ class _AsyncClosure:
                     # time than the attempt that just failed
                     final_proof = kind == "refute" and lvl >= ceiling - 1e-9
                     if final_proof:
-                        slice_sec = remaining
+                        # all-in on a real deadline; with no deadline,
+                        # escalate re-armed slices (stateless DFS: same-
+                        # budget retries are wasted, but each re-arm
+                        # re-checks stop)
+                        slice_sec = (
+                            min(60.0 * (3.0 ** att), 600.0)
+                            if no_deadline
+                            else remaining
+                        )
                     else:
                         base_slice = (
                             max(20.0, 5.0 * last_ref) if last_ref else 15.0
@@ -695,12 +710,17 @@ def branch_and_bound(
     passes the parent's, so face-probe ladders resume instead of
     restarting at the child's root LP floor).
 
-    Multi-process protocol: BoundPool.sync is a COLLECTIVE, so every exit
-    path of the top-level call must drain the peers' cadence
-    (pool.finalize) or a peer blocks forever in its next allgather.
-    Recursive calls (compact re-solve, core search) share the caller's
-    pool via ``_pool`` so the once-per-round collective sequence stays
-    matched across processes no matter which phase each host is in."""
+    Multi-process protocol: BoundPool is an async KV-store publish/read —
+    sync() never blocks on a peer, so hosts in different phases (compile
+    ladders, different tree shapes) cannot stall each other.  What every
+    top-level exit path MUST still do is run pool.finalize(): departure
+    accounting — finalize's drain loop waits for every process to mark
+    itself departed, so a host that skips it leaves its peers polling
+    forever.  Recursive calls (compact re-solve, core search) share the
+    caller's pool via ``_pool`` for namespace-counter alignment (each
+    BoundPool construction bumps a per-process counter; all processes must
+    construct pools in the same order to read each other's keys) and so
+    only the one top-level owner runs the departure protocol."""
     from sypha_tpu.parallel.distributed import BoundPool
 
     owner = _pool is None
@@ -730,6 +750,11 @@ def branch_and_bound(
         res.objective,
         res.dual_bound if np.isfinite(res.dual_bound) else np.inf,
         stop_peers,
+        solution=(
+            res.solution
+            if np.isfinite(res.objective) and res.solution.size
+            else None
+        ),
     )
     return res
 
@@ -2137,16 +2162,50 @@ def _branch_and_bound(
             # objective still prunes our frontier and closes our gap.
             lo, _ = frontier_lower()
             pooled = pool.sync(
-                best_obj, lo if np.isfinite(lo) else global_lower, False
+                best_obj,
+                lo if np.isfinite(lo) else global_lower,
+                False,
+                solution=(
+                    best_solution if np.isfinite(best_obj) else None
+                ),
             )
             # adopt the pooled incumbent BEFORE honoring a stop flag: a
             # peer that proved optimality departs with stop=True AND the
             # optimal objective in the same round
             if pooled.incumbent < best_obj - px_tol:
-                best_obj = pooled.incumbent
-                incumbent_source = "pooled_remote"
-                log.info(f"Pooled remote incumbent: {best_obj:.12g}")
-                prune_frontier()
+                # the cover bits ship with the objective (BoundPool wire
+                # format), so the (objective, solution) pair stays
+                # consistent; verify cost + cover before trusting the wire
+                sol = pooled.incumbent_solution
+                if sol is not None and sol.shape[0] >= n_input:
+                    cand = (sol[:n_input] > 0.5).astype(np.float64)
+                    cost = float(base.costs @ cand)
+                    if (
+                        abs(cost - pooled.incumbent)
+                        <= px_tol * max(1.0, abs(cost))
+                        and base.is_cover(cand)
+                    ):
+                        best_solution = cand
+                        best_obj = pooled.incumbent
+                        incumbent_source = "pooled_remote"
+                        log.info(
+                            f"Pooled remote incumbent: {best_obj:.12g}"
+                        )
+                        prune_frontier()
+                    else:
+                        log.warning(
+                            "Pooled incumbent bits failed verification; "
+                            "ignoring the remote value"
+                        )
+                else:
+                    # no bits on the wire (a peer synced without its
+                    # cover): keep our own consistent (objective,
+                    # solution) pair; the bits arrive on the peer's next
+                    # cadence round
+                    log.info(
+                        f"Pooled remote objective {pooled.incumbent:.12g} "
+                        "arrived without cover bits; waiting for them"
+                    )
             if pooled.stop:
                 hard_limit_reached = True
                 log.info("Stop flag pooled from a peer process")

@@ -194,6 +194,16 @@ def ell_column_slabs(ell: EllMatrix, k: int, lane_multiple: int = 8) -> EllMatri
         cnt = ((shard_of == j) & valid).sum(axis=1)
         kr = max(kr, int(cnt.max()) if cnt.size else 0)
     kr = _round_up(kr, lane_multiple)
+    if kr > row_idx.shape[1]:
+        # a lane_multiple larger than the EllMatrix was built with can
+        # round kr past the source row width; pad the source (zero values
+        # are invalid lanes) so the take_along_axis slices below stay
+        # square (ADVICE r3)
+        pad = kr - row_idx.shape[1]
+        row_idx = np.pad(row_idx, ((0, 0), (0, pad)))
+        row_val = np.pad(row_val, ((0, 0), (0, pad)))
+        shard_of = row_idx // nl
+        valid = row_val != 0
     new_ri = np.zeros((k, m_pad, kr), dtype=np.int32)
     new_rv = np.zeros((k, m_pad, kr), dtype=row_val.dtype)
     lane = np.arange(kr)[None, :]

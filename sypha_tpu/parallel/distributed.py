@@ -56,6 +56,11 @@ class PooledBounds:
     # every process has announced departure (finished its own search):
     # the finalize() drain loop may end
     all_departed: bool = False
+    # 0/1 column-selection bits of the process owning the pooled incumbent
+    # (None when that process did not publish a solution) — ships the
+    # incumbent COVER with its objective so adopters never pair a remote
+    # objective with a stale local solution vector
+    incumbent_solution: np.ndarray | None = None
 
 
 class BoundPool:
@@ -82,6 +87,11 @@ class BoundPool:
         self.n_processes = jax.process_count()
         self.pid = jax.process_index()
         self._seq = 0
+        # Per-peer cache of the highest-seq row ever read.  Each publisher
+        # only ever increases its seq, but the cache makes the fold robust
+        # even if a read returns an out-of-order value: a row with
+        # seq <= cached seq is ignored, so pooled views never regress.
+        self._peer_cache = {}
         BoundPool._instance_counter += 1
         self._ns = f"sypha_bound_pool/{BoundPool._instance_counter}"
         self._client = None
@@ -93,29 +103,54 @@ class BoundPool:
     # ---- wire format ----
 
     @staticmethod
-    def _encode(seq, incumbent, dual_bound, stop, departed) -> str:
-        return f"{seq},{incumbent!r},{dual_bound!r},{int(stop)},{int(departed)}"
+    def _encode(seq, incumbent, dual_bound, stop, departed, solution) -> str:
+        # float() casts matter: numpy scalars DO reach sync/finalize
+        # (heuristics return np.float64 costs), and repr(np.float64(429.0))
+        # is 'np.float64(429.0)' under numpy>=2 — unparseable by _decode.
+        # The solution ships as hex-packed bits (n=10000 cols -> 2.5 KB),
+        # so adopters get the cover WITH its objective.
+        bits = ""
+        if solution is not None:
+            bits = np.packbits(
+                np.asarray(solution).ravel() > 0.5
+            ).tobytes().hex()
+        return (
+            f"{int(seq)},{float(incumbent)!r},{float(dual_bound)!r},"
+            f"{int(stop)},{int(departed)},{bits}"
+        )
 
     @staticmethod
     def _decode(v: str):
-        seq, inc, db, stop, dep = v.split(",")
-        return int(seq), float(inc), float(db), stop == "1", dep == "1"
+        seq, inc, db, stop, dep, bits = v.split(",")
+        sol = None
+        if bits:
+            sol = np.unpackbits(
+                np.frombuffer(bytes.fromhex(bits), dtype=np.uint8)
+            ).astype(np.float64)
+        return int(seq), float(inc), float(db), stop == "1", dep == "1", sol
 
-    def _publish(self, incumbent, dual_bound, stop, departed):
+    def _publish(self, incumbent, dual_bound, stop, departed, solution):
         self._seq += 1
         self._client.key_value_set(
             f"{self._ns}/{self.pid}",
-            self._encode(self._seq, incumbent, dual_bound, stop, departed),
+            self._encode(
+                self._seq, incumbent, dual_bound, stop, departed, solution
+            ),
             allow_overwrite=True,
         )
 
     def _read_peer(self, pid):
+        # Only a KV-store miss means "peer has not published yet"; a value
+        # that EXISTS but fails to parse is wire corruption and must raise —
+        # swallowing it would silently disable pooling (and deadlock
+        # finalize's departure drain, which waits on all_departed).
         try:
-            return self._decode(
-                self._client.key_value_try_get(f"{self._ns}/{pid}")
-            )
-        except Exception:
-            return None  # peer has not published yet
+            raw = self._client.key_value_try_get(f"{self._ns}/{pid}")
+        except Exception as e:  # XlaRuntimeError NOT_FOUND on a miss
+            if "NOT_FOUND" in str(e) or "not found" in str(e).lower():
+                return None
+            raise
+        return self._decode(raw)
 
     # ---- pooling ----
 
@@ -127,8 +162,10 @@ class BoundPool:
         departed: bool = False,
         wait: bool = False,
         wait_timeout_sec: float = 600.0,
+        solution=None,
     ) -> PooledBounds:
-        """Publish our scalars, fold the peers' latest.
+        """Publish our scalars (plus the optional incumbent cover bits),
+        fold the peers' latest.
 
         ``wait=False`` (the B&B cadence): non-blocking — peers that have
         not published yet simply do not contribute this round.
@@ -136,35 +173,52 @@ class BoundPool:
         many rounds as we have (synchronous gather semantics, used by
         tests and one-shot exchanges)."""
         if self.n_processes <= 1:
-            return PooledBounds(incumbent, dual_bound, stop, departed)
-        self._publish(incumbent, dual_bound, stop, departed)
+            return PooledBounds(
+                float(incumbent), float(dual_bound), bool(stop), departed
+            )
+        self._publish(incumbent, dual_bound, stop, departed, solution)
         if wait:
             # double barrier: everyone has published round `seq` before
             # anyone reads, and everyone has read before anyone may
             # overwrite with round seq+1
             tmo = int(wait_timeout_sec * 1000)
             self._client.wait_at_barrier(f"{self._ns}/pub{self._seq}", tmo)
-            rows = [(self._seq, incumbent, dual_bound, stop, departed)]
             for pid in range(self.n_processes):
                 if pid != self.pid:
-                    rows.append(self._read_peer(pid))
+                    self._fold_peer(pid, self._read_peer(pid))
             self._client.wait_at_barrier(f"{self._ns}/read{self._seq}", tmo)
         else:
-            rows = [(self._seq, incumbent, dual_bound, stop, departed)]
             for pid in range(self.n_processes):
-                if pid == self.pid:
-                    continue
-                r = self._read_peer(pid)
-                if r is not None:
-                    rows.append(r)
+                if pid != self.pid:
+                    self._fold_peer(pid, self._read_peer(pid))
+        mine = (
+            self._seq,
+            float(incumbent),
+            float(dual_bound),
+            stop,
+            departed,
+            None if solution is None else np.asarray(solution, np.float64),
+        )
+        rows = [mine] + list(self._peer_cache.values())
+        best = min(rows, key=lambda r: r[1])
         return PooledBounds(
-            incumbent=float(min(r[1] for r in rows)),
+            incumbent=float(best[1]),
             dual_bound=float(min(r[2] for r in rows)),
             stop=bool(any(r[3] for r in rows)),
             all_departed=(
                 len(rows) == self.n_processes and all(r[4] for r in rows)
             ),
+            incumbent_solution=best[5],
         )
+
+    def _fold_peer(self, pid, row):
+        """Keep the highest-seq row per peer (monotone: stale reads or
+        out-of-order arrivals can never regress the pooled view)."""
+        if row is None:
+            return
+        cached = self._peer_cache.get(pid)
+        if cached is None or row[0] > cached[0]:
+            self._peer_cache[pid] = row
 
     def finalize(
         self,
@@ -172,6 +226,8 @@ class BoundPool:
         dual_bound: float,
         stop_peers: bool,
         poll_sec: float = 0.2,
+        drain_timeout_sec: float | None = None,
+        solution=None,
     ) -> PooledBounds:
         """Drain loop for a host whose search ended: announce departure
         (with our final incumbent/bound) and poll until every process has
@@ -184,15 +240,29 @@ class BoundPool:
         donate our final incumbent/bound and wait for them.  Returns the
         last pooled view (the globally agreed incumbent).
 
-        A crashed peer never departs; the coordination service's
-        missed-heartbeat detection then errors out the surviving process —
-        there is deliberately no local timeout racing against it."""
+        A crashed peer never departs.  By default
+        (``drain_timeout_sec=None``) the drain polls indefinitely and the
+        coordination service's missed-heartbeat detection errors out the
+        surviving process — no local timeout races against it.  Pass a
+        finite ``drain_timeout_sec`` to instead give up after that many
+        seconds and return the last pooled view with
+        ``all_departed=False`` (the caller decides whether that is fatal);
+        useful when the caller runs its own peer-liveness policy."""
+        deadline = (
+            None
+            if drain_timeout_sec is None
+            else time.monotonic() + drain_timeout_sec
+        )
         out = self.sync(
-            incumbent, dual_bound, stop_peers, departed=True
+            incumbent, dual_bound, stop_peers, departed=True,
+            solution=solution,
         )
         while self.n_processes > 1 and not out.all_departed:
+            if deadline is not None and time.monotonic() > deadline:
+                break
             time.sleep(poll_sec)
             out = self.sync(
-                incumbent, dual_bound, stop_peers, departed=True
+                incumbent, dual_bound, stop_peers, departed=True,
+                solution=solution,
             )
         return out

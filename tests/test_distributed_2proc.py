@@ -16,6 +16,7 @@ _WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
 
@@ -26,21 +27,28 @@ n = initialize_distributed(coordinator_address=coord, num_processes=2, process_i
 assert n == 2, n
 pool = BoundPool()
 assert pool.n_processes == 2
-# process 0 has the better incumbent; process 1 has the lower dual bound
-# and requests a stop
-inc = 429.0 if pid == 0 else 434.0
-dual = 420.0 if pid == 0 else 417.5
+# process 0 has the better incumbent (published as np.float64, WITH its
+# cover bits — the ADVICE r3 regression case); process 1 has the lower
+# dual bound and requests a stop
+inc = np.float64(429.0) if pid == 0 else np.float64(434.0)
+dual = np.float64(420.0) if pid == 0 else np.float64(417.5)
 stop = pid == 1
-out = pool.sync(inc, dual, stop, wait=True)
+cover = np.zeros(10); cover[[1, 4, 7]] = 1.0
+out = pool.sync(inc, dual, stop, wait=True,
+                solution=cover if pid == 0 else None)
 assert out.incumbent == 429.0, out
 assert out.dual_bound == 417.5, out
 assert out.stop, out
+# the incumbent's cover bits ship with the objective
+assert out.incumbent_solution is not None, out
+np.testing.assert_array_equal(out.incumbent_solution[:10], cover)
 # second cadence round: values move, pool again
 out = pool.sync(428.0 if pid == 1 else 430.0, 425.0, False, wait=True)
 assert out.incumbent == 428.0, out
 assert not out.stop, out
 # departure protocol: both processes drain and agree on the final view
-out = pool.finalize(out.incumbent, 425.0, stop_peers=False)
+out = pool.finalize(np.float64(out.incumbent), np.float64(425.0),
+                    stop_peers=False)
 assert out.all_departed, out
 assert out.incumbent == 428.0, out
 print(f"proc {pid} ok")
@@ -77,6 +85,81 @@ def test_bound_pool_two_processes(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"proc {pid} ok" in out
+
+
+_CRASH_WORKER = r"""
+import os, sys, time
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from sypha_tpu.parallel.distributed import BoundPool, initialize_distributed
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+initialize_distributed(coordinator_address=coord, num_processes=2, process_id=pid)
+pool = BoundPool()
+out = pool.sync(100.0 if pid == 0 else 101.0, 90.0, False, wait=True)
+assert out.incumbent == 100.0, out
+if pid == 1:
+    # simulate a crash of a NON-LEADER task: publish once more WITHOUT
+    # departing, then die abruptly (no finalize, no clean shutdown).
+    # (Killing task 0 would take the coordination service itself down
+    # and fatally error the survivor before any drain runs.)
+    pool.sync(101.0, 90.0, False)
+    os._exit(17)
+# survivor (the leader, hosting the coordination service): the peer never
+# departs; the bounded drain must return (not hang) with
+# all_departed=False and the last pooled view intact
+t0 = time.monotonic()
+out = pool.finalize(99.0, 92.0, stop_peers=False, drain_timeout_sec=5.0)
+took = time.monotonic() - t0
+assert not out.all_departed, out
+assert out.incumbent == 99.0, out
+assert took < 60.0, took
+print(f"proc {pid} drain-timeout ok")
+# skip the jax.distributed atexit shutdown barrier (the peer is dead)
+sys.stdout.flush()
+os._exit(0)
+"""
+
+
+def test_finalize_drain_timeout_on_crashed_peer(tmp_path):
+    """VERDICT r3 weak #7: a peer that dies without departing must not
+    hang a survivor that opts into a bounded drain."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("XLA_FLAGS", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CRASH_WORKER, coord, str(pid)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=150)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert procs[1].returncode == 17, outs[1]
+    assert procs[0].returncode == 0, f"survivor failed:\n{outs[0]}"
+    assert "proc 0 drain-timeout ok" in outs[0]
 
 
 _BNB_WORKER = r"""
