@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "disables)")
     p.add_argument("--bnb-core-time-cap-sec", type=float, default=60.0,
                    help="hard cap on the core-search slice")
+    p.add_argument("--bnb-exact-closure", type=int, default=1,
+                   help="enable the exact-closure engine (host bitset DFS "
+                   "budget probing over reduced faces); 0 = pure tree "
+                   "search with cuts and rc-fixing")
     p.add_argument("--bnb-cut-skip-gap", type=float, default=10.0,
                    help="skip root cut rounds when the integer gap exceeds "
                    "this many objective units (0 disables the skip)")
@@ -201,6 +205,7 @@ def config_from_args(args) -> SolverConfig:
             core_time_cap_sec=args.bnb_core_time_cap_sec,
             cut_skip_gap=args.bnb_cut_skip_gap,
             lagrangian_budget_sec=args.bnb_lagrangian_budget_sec,
+            exact_closure=bool(args.bnb_exact_closure),
         ),
     )
 

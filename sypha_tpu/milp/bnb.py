@@ -1709,7 +1709,7 @@ def _branch_and_bound(
         arguments), so it also lifts recorded numerical-failure bounds.
         Returns True when the search was closed."""
         nonlocal frontier, _closure_inconclusive
-        if not (obj_is_integral and np.isfinite(best_obj)):
+        if not (bnb.exact_closure and obj_is_integral and np.isfinite(best_obj)):
             return False
         from sypha_tpu.milp.presolve import exact_small_cover, sample_cover
 
@@ -1924,7 +1924,7 @@ def _branch_and_bound(
     # available, refresh_root_bound skips its inline (blocking)
     # sessions entirely and the ladder runs beside the root phases,
     # the compact rebase, and every node window.
-    if bnb.async_closure and obj_is_integral:
+    if bnb.exact_closure and bnb.async_closure and obj_is_integral:
         from sypha_tpu import native as _native
 
         if _native.get_lib() is not None:
