@@ -2193,7 +2193,7 @@ def _branch_and_bound(
                         )
                         prune_frontier()
                     else:
-                        log.warning(
+                        log.warn(
                             "Pooled incumbent bits failed verification; "
                             "ignoring the remote value"
                         )
