@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "disables)")
     p.add_argument("--bnb-core-time-cap-sec", type=float, default=60.0,
                    help="hard cap on the core-search slice")
+    p.add_argument("--bnb-root-time-frac", type=float, default=0.5,
+                   help="optional root phases (Lagrangian, cut rounds, "
+                   "core search) may spend at most this fraction of the "
+                   "hard budget before the tree starts (0 disables)")
     p.add_argument("--bnb-exact-closure", type=int, default=1,
                    help="enable the exact-closure engine (host bitset DFS "
                    "budget probing over reduced faces); 0 = pure tree "
@@ -203,6 +207,7 @@ def config_from_args(args) -> SolverConfig:
             warm_start_nodes=bool(args.bnb_warm_start_nodes),
             core_time_frac=args.bnb_core_time_frac,
             core_time_cap_sec=args.bnb_core_time_cap_sec,
+            root_time_frac=args.bnb_root_time_frac,
             cut_skip_gap=args.bnb_cut_skip_gap,
             lagrangian_budget_sec=args.bnb_lagrangian_budget_sec,
             exact_closure=bool(args.bnb_exact_closure),

@@ -220,6 +220,14 @@ class BnbOptions:
     # discarded.  0 disables.
     core_time_frac: float = 0.45
     core_time_cap_sec: float = 60.0
+    # Root-phase budget guard: the OPTIONAL root phases (Lagrangian greedy,
+    # root cut rounds, core search) may together spend at most this
+    # fraction of the hard time budget before the tree must start.  On
+    # 1000x10000 instances the unguarded root pipeline consumed entire
+    # 130 s sessions (scpnrg2/scpnrh1: iterations=0, the tree never
+    # started).  Mandatory phases (reductions, root LP) are exempt — a
+    # tree without a root bound is useless.  0 disables the guard.
+    root_time_frac: float = 0.5
     core_min_active: int = 1000
     core_mult: int = 6
     # Skip root cut rounds entirely when the root integer gap exceeds this

@@ -791,6 +791,27 @@ def _branch_and_bound(
         else (cfg.time_limit_sec if cfg.time_limit_sec > 0 else 0.0)
     )
     deadline = t_start + _hard0 if _hard0 > 0 else np.inf
+    # Root-phase budget guard: the optional root phases (Lagrangian greedy,
+    # cut rounds, core search) must leave the TREE at least
+    # (1 - root_time_frac) of the hard budget.  Without this, a 10000-col
+    # instance's root pipeline ate a whole 130 s session (scpnrg2/scpnrh1
+    # reported iterations=0 — the tree never started).  The mandatory root
+    # phases (reductions, root LP) still run under the full deadline: a
+    # tree without a root LP bound is useless.  Shifts with t_start when
+    # precompile extends the budget.
+    tree_by = (
+        t_start + bnb.root_time_frac * _hard0
+        if (_hard0 > 0 and bnb.root_time_frac > 0)
+        else np.inf
+    )
+
+    def root_budget(cap: float) -> float:
+        """Clamp an optional root-phase budget so it cannot push the tree
+        start past ``tree_by`` (and never past the hard deadline)."""
+        lim = min(deadline, tree_by)
+        if not np.isfinite(lim):
+            return cap
+        return max(0.05, min(cap, lim - time.monotonic()))
 
     base = BaseModel(model)
     n_input = model.ncols
@@ -910,6 +931,7 @@ def _branch_and_bound(
             )
         t_start += compile_s
         deadline += compile_s
+        tree_by += compile_s
         compile_total = compile_s
 
     def solve_single(node: BranchNode):
@@ -1085,14 +1107,7 @@ def _branch_and_bound(
                 base,
                 res["y"],
                 node=root,
-                time_budget_sec=(
-                    bnb.lagrangian_budget_sec
-                    if not np.isfinite(deadline)
-                    else max(
-                        0.05,
-                        min(bnb.lagrangian_budget_sec, deadline - time.monotonic()),
-                    )
-                ),
+                time_budget_sec=root_budget(bnb.lagrangian_budget_sec),
                 max_samples=bnb.lagrangian_samples,
                 best_known=best_obj,
                 keep_pool=12 if bnb.core_time_frac > 0 else 0,
@@ -1219,6 +1234,12 @@ def _branch_and_bound(
             if time_up():
                 log.info("Time limit reached during root cut rounds")
                 break
+            if time.monotonic() >= tree_by:
+                log.info(
+                    "Root-phase budget reached during cut rounds "
+                    f"(root_time_frac={bnb.root_time_frac:g}); starting tree"
+                )
+                break
             res = solve_single(root)
             note_closure_seed(res)
             if res["status"] not in (
@@ -1332,6 +1353,8 @@ def _branch_and_bound(
                     slice_sec,
                     bnb.core_time_frac * max(0.0, deadline - time.monotonic()),
                 )
+            # never let the core slice push the tree start past tree_by
+            slice_sec = min(slice_sec, root_budget(slice_sec))
             if slice_sec > 2.0 and core_mask.sum() < base.n_active:
                 log.info(
                     f"Core search: {int(core_mask.sum())} columns, "

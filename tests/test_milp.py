@@ -499,3 +499,26 @@ def test_async_closure_worker_self_chains_the_ladder():
     assert len(found) == 1
     assert float(base.costs @ (found[0]["x"] > 0.5)) == opt
     assert not w.busy()
+
+
+def test_root_time_frac_guard_still_solves():
+    """Root-phase budget guard (config.root_time_frac): with tree_by
+    already expired (frac ~ 0 under a hard limit), the optional root
+    phases (Lagrangian, cut rounds, core search) are clipped but the tree
+    still runs and proves optimality — the guard trades root polish for a
+    guaranteed tree start, never correctness."""
+    m = parse_scp_text(TINY, name="tiny")
+    expected = scipy_milp_optimum(m)
+    cfg = SolverConfig(verbosity=0)
+    cfg = cfg.replace(
+        bnb=cfg.bnb.replace(
+            hard_time_limit_sec=60.0,
+            root_time_frac=1e-9,
+            precompile=False,
+        )
+    )
+    r = branch_and_bound(m, cfg)
+    assert r.status == MilpStatus.OPTIMAL, r
+    assert abs(r.objective - expected) < 1e-9
+    base = BaseModel(m)
+    assert base.is_cover(r.solution)
