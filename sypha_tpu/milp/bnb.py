@@ -489,6 +489,12 @@ class _AsyncClosure:
         if self._shared is not None:
             self._shared["stop"] = True
 
+    def extend_deadline(self, deadline_mono: float):
+        """Move the ladder's wall-clock deadline (precompile extends the
+        solve budget after an early ladder has already started)."""
+        if self._shared is not None:
+            self._shared["deadline"] = deadline_mono
+
     def start_ladder(
         self,
         probe0: float,
@@ -512,7 +518,16 @@ class _AsyncClosure:
         assert not self.busy()
         from sypha_tpu.milp.presolve import exact_small_cover
 
-        shared = {"best_obj": best_obj, "floor": probe0, "stop": False}
+        shared = {
+            "best_obj": best_obj,
+            "floor": probe0,
+            "stop": False,
+            # live: extend_deadline() moves it when precompile extends the
+            # hard budget (the early pre-precompile ladder otherwise sizes
+            # its all-in final proof against the UN-extended deadline,
+            # wastes the slice, and the stateless DFS restarts from zero)
+            "deadline": deadline_mono,
+        }
         self._shared = shared
         base, tol, results = self.base, self.int_tol, self._results
 
@@ -528,7 +543,7 @@ class _AsyncClosure:
                         level = max(level, float(np.round(fl)))
                     if level > ceiling + tol:
                         break
-                    remaining = deadline_mono - time.monotonic()
+                    remaining = shared["deadline"] - time.monotonic()
                     no_deadline = not np.isfinite(remaining)
                     if no_deadline:
                         # no wall-clock deadline: re-arm in short slices so
@@ -691,6 +706,7 @@ def branch_and_bound(
     restrict_active=None,
     warm_incumbent=None,
     warm_lower=None,
+    warm_duals=None,
     _compact_depth: int = 0,
     _pool=None,
 ) -> MilpResult:
@@ -708,7 +724,10 @@ def branch_and_bound(
     ``warm_incumbent`` = (x_struct, objective) seeds the incumbent.
     ``warm_lower`` seeds a PROVEN global dual bound (the compact re-solve
     passes the parent's, so face-probe ladders resume instead of
-    restarting at the child's root LP floor).
+    restarting at the child's root LP floor).  ``warm_duals`` seeds the
+    closure ladder with the parent's best covering-row duals (rows are
+    unchanged by compaction) so the refutation ladder can run DURING the
+    child's precompile instead of idling behind it.
 
     Multi-process protocol: BoundPool is an async KV-store publish/read —
     sync() never blocks on a peer, so hosts in different phases (compile
@@ -728,12 +747,12 @@ def branch_and_bound(
     if not owner or pool.n_processes <= 1:
         return _branch_and_bound(
             model, cfg, log, mesh, restrict_active, warm_incumbent,
-            warm_lower, _compact_depth, pool,
+            warm_lower, warm_duals, _compact_depth, pool,
         )
     try:
         res = _branch_and_bound(
             model, cfg, log, mesh, restrict_active, warm_incumbent,
-            warm_lower, _compact_depth, pool,
+            warm_lower, warm_duals, _compact_depth, pool,
         )
     except BaseException:
         # keep answering the peers' collective cadence before propagating
@@ -767,6 +786,7 @@ def _branch_and_bound(
     restrict_active,
     warm_incumbent,
     warm_lower,
+    warm_duals,
     _compact_depth: int,
     pool,
 ) -> MilpResult:
@@ -909,6 +929,51 @@ def _branch_and_bound(
         newton_max_steps=max(cfg.ipm.newton_max_steps, 48)
     )
 
+    # ---- early closure ladder (compact re-solve children) ----
+    # Precompile blocks the host on remote-compile HTTP waits (GIL
+    # released) for 20-120 s while the native DFS is pure host work:
+    # running the refutation ladder CONCURRENTLY reclaims that window
+    # (measured scpnre5: the child's 52 s precompile used to leave the
+    # ladder idle while its refute-26 alone needs ~25 s).  Only possible
+    # with inherited parent state — the parent's covering-row duals stay
+    # valid because compaction never changes rows — so this arms only when
+    # the rebase passes warm_duals + a proven warm_lower floor.
+    closure_seed = {"y": None, "mass": 0.0, "cut_w": None, "ncuts": 0}
+    if warm_duals is not None:
+        # inherited parent duals arm the ladder until the first root LP
+        # supersedes them (note_closure_seed keeps the larger mass)
+        _wy = np.ascontiguousarray(np.asarray(warm_duals, dtype=np.float64))
+        closure_seed["y"] = _wy
+        closure_seed["mass"] = float(
+            np.clip(_wy[: base.nrows_cover], 0.0, None).sum()
+        )
+    early_closure = None
+    if (
+        closure_seed["mass"] > 1e-9
+        and bnb.exact_closure
+        and bnb.async_closure
+        and obj_is_integral
+        and np.isfinite(best_obj)
+        and warm_lower is not None
+        and np.isfinite(warm_lower)
+    ):
+        from sypha_tpu import native as _native
+
+        if _native.get_lib() is not None:
+            _probe0 = float(np.round(warm_lower))
+            if _probe0 <= best_obj - 1.0 + int_tol:
+                early_closure = _AsyncClosure(base, int_tol, log)
+                early_closure.start_ladder(
+                    _probe0,
+                    best_obj,
+                    # live view: stronger in-run duals supersede the
+                    # inherited ones as soon as note_closure_seed lands
+                    lambda: (closure_seed["y"], None),
+                    deadline,
+                    0.0,
+                    {},
+                )
+
     compile_total = 0.0
     if bnb.precompile:
         # compile every (opts, window-rung) executable BEFORE the clock
@@ -933,6 +998,8 @@ def _branch_and_bound(
         deadline += compile_s
         tree_by += compile_s
         compile_total = compile_s
+        if early_closure is not None:
+            early_closure.extend_deadline(deadline)
 
     def solve_single(node: BranchNode):
         return solver.solve_nodes([node], ipm_opts, deadline)[0]
@@ -1028,7 +1095,9 @@ def _branch_and_bound(
     # seeding it with post-cut duals starved every probe session.  Keep
     # the pre-cut duals alive here for closure AND for the dual-ordered
     # cut separators.
-    closure_seed = {"y": None, "mass": 0.0, "cut_w": None, "ncuts": 0}
+    # closure_seed itself is initialized before the precompile block (the
+    # early ladder needs it); note_closure_seed below keeps the best-mass
+    # covering duals seen on any converged root-level solve
 
     def note_closure_seed(r):
         if r is None or r["status"] != IpmStatus.CONVERGED:
@@ -1951,7 +2020,9 @@ def _branch_and_bound(
         from sypha_tpu import native as _native
 
         if _native.get_lib() is not None:
-            aclosure = _AsyncClosure(base, int_tol, log)
+            # adopt the early (pre-precompile) worker when one is running —
+            # its queued refutations drain at the first async_closure_step
+            aclosure = early_closure or _AsyncClosure(base, int_tol, log)
     _closure_attempts: dict = {}
     _last_refute_sec = 0.0
 
@@ -2133,6 +2204,14 @@ def _branch_and_bound(
                     warm_incumbent=(best_solution[cols], best_obj),
                     warm_lower=(
                         global_lower if np.isfinite(global_lower) else None
+                    ),
+                    warm_duals=(
+                        # covering-row duals survive compaction unchanged
+                        # (columns are remapped, rows are not) — they arm
+                        # the child's ladder through its precompile window
+                        closure_seed["y"]
+                        if closure_seed["mass"] > 1e-9
+                        else None
                     ),
                     _compact_depth=_compact_depth + 1,
                     _pool=pool,

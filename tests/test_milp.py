@@ -522,3 +522,45 @@ def test_root_time_frac_guard_still_solves():
     assert abs(r.objective - expected) < 1e-9
     base = BaseModel(m)
     assert base.is_cover(r.solution)
+
+
+def test_warm_duals_arm_the_early_closure_ladder():
+    """warm_duals (the compact re-solve inheritance) start the refutation
+    ladder before the child's root LP exists: with a proven warm_lower
+    floor and LP-quality duals, the ladder alone must prove the warm
+    incumbent optimal on a tiny plateau face."""
+    m = parse_scp_text(TINY, name="tiny")
+    expected = scipy_milp_optimum(m)
+    # LP-optimal covering-row duals from scipy (the parent's closure seed)
+    import itertools
+
+    A = np.zeros((m.nrows, m.ncols))
+    for i, cols in enumerate(m.rows):
+        A[i, cols] = 1.0
+    lp = scipy.optimize.linprog(
+        m.costs, A_ub=-A, b_ub=-np.ones(m.nrows), bounds=(0, 1),
+        method="highs",
+    )
+    duals = -lp.ineqlin.marginals
+    x_best = np.zeros(m.ncols)
+    # a valid (optimal) incumbent cover, found by brute force
+    best = None
+    for k in range(1, m.ncols + 1):
+        for comb in itertools.combinations(range(m.ncols), k):
+            sel = np.zeros(m.ncols)
+            sel[list(comb)] = 1.0
+            if np.all(A @ sel >= 1.0):
+                c = float(m.costs @ sel)
+                if best is None or c < best[0]:
+                    best = (c, sel)
+    x_best = best[1]
+    cfg = SolverConfig(verbosity=0)
+    r = branch_and_bound(
+        m,
+        cfg,
+        warm_incumbent=(x_best, best[0]),
+        warm_lower=float(np.ceil(lp.fun - 1e-9)),
+        warm_duals=duals,
+    )
+    assert r.status == MilpStatus.OPTIMAL, r
+    assert abs(r.objective - expected) < 1e-9
