@@ -127,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "disables)")
     p.add_argument("--bnb-core-time-cap-sec", type=float, default=60.0,
                    help="hard cap on the core-search slice")
+    p.add_argument("--bnb-core-rounds", type=int, default=3,
+                   help="max core-search rounds (CFT core refresh: rebuild "
+                   "around the new support after each improvement)")
     p.add_argument("--bnb-root-time-frac", type=float, default=0.5,
                    help="optional root phases (Lagrangian, cut rounds, "
                    "core search) may spend at most this fraction of the "
@@ -208,6 +211,7 @@ def config_from_args(args) -> SolverConfig:
             core_time_frac=args.bnb_core_time_frac,
             core_time_cap_sec=args.bnb_core_time_cap_sec,
             root_time_frac=args.bnb_root_time_frac,
+            core_rounds=args.bnb_core_rounds,
             cut_skip_gap=args.bnb_cut_skip_gap,
             lagrangian_budget_sec=args.bnb_lagrangian_budget_sec,
             exact_closure=bool(args.bnb_exact_closure),

@@ -220,6 +220,11 @@ class BnbOptions:
     # discarded.  0 disables.
     core_time_frac: float = 0.45
     core_time_cap_sec: float = 60.0
+    # Repeated core rounds (CFT core-refresh style): after a round improves
+    # the incumbent the core is rebuilt around the new support and searched
+    # again; a non-improving round doubles the core size once before
+    # stopping.  Bounded by root_time_frac like every optional root phase.
+    core_rounds: int = 3
     # Root-phase budget guard: the OPTIONAL root phases (Lagrangian greedy,
     # root cut rounds, core search) may together spend at most this
     # fraction of the hard time budget before the tree must start.  On
@@ -228,6 +233,12 @@ class BnbOptions:
     # started).  Mandatory phases (reductions, root LP) are exempt — a
     # tree without a root bound is useless.  0 disables the guard.
     root_time_frac: float = 0.5
+    # Padded-column floor for the node-LP bucket (0 = natural rounding).
+    # The compact re-solve sets it to a STANDARD rung (bnb._STD_RUNGS) so
+    # compact children across a family sweep share compiled executables —
+    # each fresh bucket shape costs a 50-300 s remote compile while the
+    # padding waste is bounded at ~33% FLOPs (1.25-1.5x rung spacing).
+    bucket_cols_floor: int = 0
     core_min_active: int = 1000
     core_mult: int = 6
     # Skip root cut rounds entirely when the root integer gap exceeds this

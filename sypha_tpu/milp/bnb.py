@@ -28,6 +28,7 @@ TPU-first deviations:
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -80,6 +81,26 @@ class MilpResult:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# Standard padded-column rungs for compact/core CHILD solves: every fresh
+# bucket shape costs a 50-300 s remote compile (and the cross-process
+# cache is unreliable), so children snap their padded width to this
+# ladder — faces of different sizes across a family sweep then share one
+# executable set and only the first instance pays.  1.25-1.5x spacing
+# bounds the padding waste; full-size parents keep natural 128-rounding
+# (family members already share those shapes exactly).
+_STD_RUNGS = (
+    128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096, 6144, 8192,
+    12288, 16384,
+)
+
+
+def _std_bucket_cols(n: int) -> int:
+    for r in _STD_RUNGS:
+        if n <= r:
+            return r
+    return _round_up(n, 1024)
 
 
 def compute_mip_gap(incumbent: float, dual_bound: float) -> float:
@@ -148,7 +169,10 @@ class _NodeLpSolver:
         if m0 > mp:
             mp = _round_up(m0 + self.CUT_HEADROOM, 32)
         if n_real > np_:
-            np_ = _round_up(n_real + self.CUT_HEADROOM, 128)
+            np_ = max(
+                _round_up(n_real + self.CUT_HEADROOM, 128),
+                self.cfg.bnb.bucket_cols_floor,
+            )
         self._bucket = (mp, np_)
         # operator pick (reference auto semantics, src/sypha_solver.cpp:
         # 291-316): padded-ELL sparse below the measured density crossover,
@@ -536,6 +560,18 @@ class _AsyncClosure:
             last_ref = last_refute_sec
             first = True
             try:
+                # deprioritize the ladder thread (Linux: PRIO_PROCESS with
+                # a TID sets that thread's nice): on a 1-CPU host the DFS
+                # (GIL released) otherwise steals ~half the cycles from
+                # the main thread's root heuristics — the ladder should
+                # soak the IDLE windows (remote-compile HTTP waits, device
+                # dispatches), not compete with host phases
+                try:
+                    os.setpriority(
+                        os.PRIO_PROCESS, threading.get_native_id(), 10
+                    )
+                except (OSError, AttributeError):
+                    pass
                 while not shared["stop"]:
                     ceiling = shared["best_obj"] - 1.0
                     fl = shared["floor"]
@@ -1397,44 +1433,71 @@ def _branch_and_bound(
     ):
         res_c = solve_single(BranchNode())
         if res_c["status"] != IpmStatus.INFEASIBLE_OR_NUMERICAL:
-            support = np.flatnonzero(best_solution > 0.5)
-            core = set(int(j) for j in support)
-            for _, cx in lagrangian_pool:
-                core |= set(int(j) for j in np.flatnonzero(cx > 0.5))
             y_c = np.maximum(0.0, res_c["y"][: base.nrows_cover])
             A_cov = base.rel_csr()[0][: base.nrows_cover]
-            rc = base.costs - A_cov.T @ y_c
-            rc[~base.active] = np.inf
-            target = bnb.core_mult * max(1, len(support))
-            for j in np.argsort(rc):
-                if len(core) >= target:
+            rc_base = base.costs - A_cov.T @ y_c
+            core_mult = bnb.core_mult
+            widened = False
+            for core_round in range(max(1, bnb.core_rounds)):
+                if time_up() or time.monotonic() >= tree_by:
                     break
-                if base.active[j]:
-                    core.add(int(j))
-            core_mask = np.zeros(n_input, dtype=bool)
-            core_mask[list(core)] = True
-            # masked columns were removed by improving-solution-preserving
-            # arguments: never resurrect them into the core
-            core_mask &= base.active
-            slice_sec = bnb.core_time_cap_sec
-            if np.isfinite(deadline):
-                slice_sec = min(
-                    slice_sec,
-                    bnb.core_time_frac * max(0.0, deadline - time.monotonic()),
+                support = np.flatnonzero(best_solution > 0.5)
+                core = set(int(j) for j in support)
+                for _, cx in lagrangian_pool:
+                    core |= set(int(j) for j in np.flatnonzero(cx > 0.5))
+                rc = rc_base.copy()
+                rc[~base.active] = np.inf
+                # FILL the core up to the standard bucket rung the child
+                # will land on after its own compact rebase: the compile
+                # is paid per RUNG, so the extra best-rc columns between
+                # the natural target and the rung boundary ride along free
+                # (and family sweeps share the rung's executables)
+                target = core_mult * max(1, len(support))
+                rung = _std_bucket_cols(
+                    target + base.nrows_cover + _NodeLpSolver.CUT_HEADROOM
                 )
-            # never let the core slice push the tree start past tree_by
-            slice_sec = min(slice_sec, root_budget(slice_sec))
-            if slice_sec > 2.0 and core_mask.sum() < base.n_active:
+                filled = rung - base.nrows_cover - _NodeLpSolver.CUT_HEADROOM
+                if filled < base.n_active:
+                    # filling past n_active would make the "core" the whole
+                    # problem; keep the natural target instead
+                    target = filled
+                for j in np.argsort(rc):
+                    if len(core) >= target:
+                        break
+                    if base.active[j]:
+                        core.add(int(j))
+                core_mask = np.zeros(n_input, dtype=bool)
+                core_mask[list(core)] = True
+                # masked columns were removed by improving-solution-
+                # preserving arguments: never resurrect them into the core
+                core_mask &= base.active
+                slice_sec = bnb.core_time_cap_sec
+                if np.isfinite(deadline):
+                    slice_sec = min(
+                        slice_sec,
+                        bnb.core_time_frac
+                        * max(0.0, deadline - time.monotonic()),
+                    )
+                # never let a core slice push the tree start past tree_by
+                slice_sec = min(slice_sec, root_budget(slice_sec))
+                if slice_sec <= 2.0 or core_mask.sum() >= base.n_active:
+                    break
                 log.info(
-                    f"Core search: {int(core_mask.sum())} columns, "
-                    f"{slice_sec:.1f}s slice"
+                    f"Core search round {core_round + 1}: "
+                    f"{int(core_mask.sum())} columns, {slice_sec:.1f}s slice"
                 )
                 sub = branch_and_bound(
                     model,
                     cfg.replace(
                         bnb=bnb.replace(
                             hard_time_limit_sec=slice_sec,
-                            precompile=False,
+                            # inherit precompile: the child's own bucket is
+                            # the parent's (in-process jit cache, ~0 s) and
+                            # its compact grandchild then precompiles the
+                            # STANDARD core rung outside the slice budget —
+                            # lazily-compiled rungs used to eat the whole
+                            # slice (scpnre2 paid 231 s inside a 60 s core
+                            # slice, benchmark CSV r3/r4)
                             checkpoint_path="",
                             mesh_devices=0,
                             lagrangian_budget_sec=min(
@@ -1448,6 +1511,7 @@ def _branch_and_bound(
                     warm_incumbent=(best_solution, best_obj),
                     _pool=pool,
                 )
+                improved = False
                 if (
                     np.isfinite(sub.objective)
                     and sub.objective < best_obj - px_tol
@@ -1470,6 +1534,13 @@ def _branch_and_bound(
                             host_budget(cfg.preprocess_time_limit_sec),
                         )
                         solver.refresh()
+                        improved = True
+                if improved:
+                    continue  # refreshed support: next round digs deeper
+                if widened:
+                    break  # a widened core also failed: stop
+                core_mult *= 2
+                widened = True
 
     # ---- main loop ----
     root.parent_dual_bound = global_lower if np.isfinite(global_lower) else -np.inf
@@ -2159,8 +2230,8 @@ def _branch_and_bound(
         old_np = solver._bucket[1] or _round_up(
             base.ncols + base.nrows + _NodeLpSolver.CUT_HEADROOM, 128
         )
-        new_np = _round_up(
-            new_n + base.nrows_cover + _NodeLpSolver.CUT_HEADROOM, 128
+        new_np = _std_bucket_cols(
+            new_n + base.nrows_cover + _NodeLpSolver.CUT_HEADROOM
         )
         if new_np <= bnb.compact_frac * old_np:
             # harvest any in-flight async refutation first: the child's
@@ -2196,7 +2267,12 @@ def _branch_and_bound(
                     compact_model,
                     cfg.replace(
                         bnb=bnb.replace(
-                            hard_time_limit_sec=remaining, checkpoint_path=""
+                            hard_time_limit_sec=remaining,
+                            checkpoint_path="",
+                            # snap the child's bucket to the standard rung
+                            # so faces of different sizes across a family
+                            # sweep share one compiled executable set
+                            bucket_cols_floor=new_np,
                         )
                     ),
                     log,

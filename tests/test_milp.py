@@ -564,3 +564,17 @@ def test_warm_duals_arm_the_early_closure_ladder():
     )
     assert r.status == MilpStatus.OPTIMAL, r
     assert abs(r.objective - expected) < 1e-9
+
+
+def test_std_bucket_rungs():
+    """Compact/core children snap padded widths to the standard rung
+    ladder (compile sharing across a family sweep)."""
+    from sypha_tpu.milp.bnb import _STD_RUNGS, _std_bucket_cols
+
+    assert _std_bucket_cols(1) == 128
+    assert _std_bucket_cols(128) == 128
+    assert _std_bucket_cols(129) == 256
+    assert _std_bucket_cols(1012) == 1024  # scpnre compact face
+    assert _std_bucket_cols(2084) == 3072
+    assert _std_bucket_cols(20000) == 20480  # beyond the ladder: 1024-mult
+    assert list(_STD_RUNGS) == sorted(_STD_RUNGS)
