@@ -167,23 +167,49 @@ def main():
                 f"dual={row['dual']} solver={row['time_solver_s']}s "
                 f"compile={row['time_compile_s']}s total={row['time_total_s']}s"
             )
+            _write_csv(out_csv, rows, args.merge)  # incremental: a TPU
+            # worker crash mid-sweep must not lose completed rows (a 2 h
+            # nrg sweep died on row 5 of 10 with nothing on disk)
 
     fields = [
         "instance", "num_sets", "num_elements", "primal", "dual",
         "mip_gap_pct", "iterations", "time_pre_s", "time_solver_s",
         "time_compile_s", "time_total_s", "incumbent", "status",
     ]
-    if args.merge and os.path.exists(out_csv):
-        with open(out_csv, newline="") as f:
-            old = list(csv.DictReader(f))
-        new_by_name = {r["instance"]: r for r in rows}
-        merged = [new_by_name.pop(r["instance"], r) for r in old]
-        rows = merged + list(new_by_name.values())
-    with open(out_csv, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=fields)
-        w.writeheader()
-        w.writerows(rows)
+    _write_csv(out_csv, rows, args.merge)
     print(f"wrote {out_csv} ({len(rows)} rows)")
+
+
+FIELDS = [
+    "instance", "num_sets", "num_elements", "primal", "dual",
+    "mip_gap_pct", "iterations", "time_pre_s", "time_solver_s",
+    "time_compile_s", "time_total_s", "incumbent", "status",
+]
+_MERGE_BASE = {}
+
+
+def _write_csv(out_csv, rows, merge):
+    """(Re)write the CSV from the completed rows so far.  With --merge the
+    pre-existing file's rows are the base and completed rows replace them
+    by instance; the base is snapshotted on first write so incremental
+    rewrites do not merge against themselves."""
+    if merge and out_csv not in _MERGE_BASE:
+        _MERGE_BASE[out_csv] = (
+            list(csv.DictReader(open(out_csv, newline="")))
+            if os.path.exists(out_csv)
+            else []
+        )
+    out_rows = list(rows)
+    if merge:
+        new_by_name = {r["instance"]: r for r in out_rows}
+        merged = [
+            new_by_name.pop(r["instance"], r) for r in _MERGE_BASE[out_csv]
+        ]
+        out_rows = merged + list(new_by_name.values())
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        w.writerows(out_rows)
 
 
 if __name__ == "__main__":

@@ -70,14 +70,39 @@ def main():
         default=[],
         help="engine env overrides, e.g. SYPHA_EC_PROBE=0",
     )
-    args = ap.parse_args()
-    out, wall, stats, rc = run_one(
-        args.face, args.budget, args.deadline, args.env
+    ap.add_argument(
+        "--grid",
+        action="store_true",
+        help="sweep SYPHA_EC_SWEEPS x SYPHA_EC_DOM (PROBE on), best-first "
+        "report; single --env run otherwise",
     )
-    print(out)
-    for ln in stats[-4:]:
-        print(ln)
-    print(f"wall={wall:.1f}s rc={rc}")
+    args = ap.parse_args()
+    if not args.grid:
+        out, wall, stats, rc = run_one(
+            args.face, args.budget, args.deadline, args.env
+        )
+        print(out)
+        for ln in stats[-4:]:
+            print(ln)
+        print(f"wall={wall:.1f}s rc={rc}")
+        return
+
+    results = []
+    for sweeps in (1, 2, 4, 8):
+        for dom in (16, 64, 256, 2048):
+            env = [f"SYPHA_EC_SWEEPS={sweeps}", f"SYPHA_EC_DOM={dom}"]
+            out, wall, stats, rc = run_one(
+                args.face, args.budget, args.deadline, env
+            )
+            verdict = out.splitlines()[-1] if out else "?"
+            tag = f"sweeps={sweeps} dom={dom}"
+            print(f"{tag:24s} wall={wall:7.1f}s  {verdict}")
+            sys.stdout.flush()
+            results.append((wall, tag, verdict))
+    results.sort()
+    print("\n=== fastest ===")
+    for wall, tag, verdict in results[:5]:
+        print(f"{wall:7.1f}s  {tag}  {verdict}")
 
 
 if __name__ == "__main__":

@@ -514,7 +514,11 @@ struct ExactCoverCtx {
         return costs_integral ? std::ceil(lb - dual_eps) : lb;
     }
     std::chrono::steady_clock::time_point deadline;
-    int node_sweeps = 2;   // ascent sweeps per DFS node (SYPHA_EC_SWEEPS)
+    // Ascent sweeps per DFS node (SYPHA_EC_SWEEPS).  Default 1: measured
+    // on the scpnre1/3/5 plateau faces, a second sweep changed ZERO DFS
+    // calls (the first pass saturates every row it can) while costing a
+    // full uncovered-row rescan — 1.6x wall on refute-26 (2026-08-19).
+    int node_sweeps = 1;
     int dom_limit = 64;    // dominance-ban n_unc gate (SYPHA_EC_DOM)
     int64_t calls = 0;
     // work counters (printed under SYPHA_EC_STATS)
@@ -610,12 +614,22 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                 miss &= miss - 1;
                 const int32_t r = static_cast<int32_t>((w << 6) + bit);
                 const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
-                ctx.n_asc_visits += static_cast<int64_t>(cand.size());
                 double d = 1e300;
+                int64_t seen = 0;
                 for (int32_t i : cand) {
+                    ++seen;
                     const double rcij = ctx.redc_eff[static_cast<size_t>(i)];
                     d = rcij < d ? rcij : d;
+                    // redc >= 0 is an ascent invariant, so a zero-slack
+                    // candidate ends the min-gather exactly: the row can
+                    // gain nothing this sweep.  The gather is the DFS's
+                    // dominant cost (60.7e9 visits on the scpnre1
+                    // budget-27 face) and most uncovered rows have an
+                    // early zero-slack candidate once the root duals are
+                    // near-saturated.
+                    if (d <= 1e-12) break;
                 }
+                ctx.n_asc_visits += seen;
                 if (d >= 1e290) d = 1e300;  // all banned == uncoverable
                 if (d >= 1e300) return 1e300;  // row uncoverable here: prune
                 if (d > 1e-12) {
@@ -646,13 +660,16 @@ double ascend_after_ban(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
             miss &= miss - 1;
             const int32_t r = static_cast<int32_t>((w << 6) + bit);
             const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
-            ctx.n_asc_visits += static_cast<int64_t>(cand.size());
             double d = 1e300;
+            int64_t seen = 0;
             for (int32_t i : cand) {
+                ++seen;
                 if (ctx.banned[static_cast<size_t>(i)]) continue;
                 const double rcij = ctx.redc[static_cast<size_t>(i)];
                 if (rcij < d) d = rcij;
+                if (d <= 1e-12) break;  // zero slack: no gain possible
             }
+            ctx.n_asc_visits += seen;
             if (d >= 1e300) return 1e300;  // row uncoverable here: prune
             if (d > 1e-12) {
                 dual_apply(ctx, r, d);

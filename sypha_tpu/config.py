@@ -220,6 +220,13 @@ class BnbOptions:
     # discarded.  0 disables.
     core_time_frac: float = 0.45
     core_time_cap_sec: float = 60.0
+    # Endgame mode: when the integer gap is exactly one unit, the frontier
+    # holds at least this many nodes (a plateau the tree will not close),
+    # and the async closure ladder is grinding the final refutation, the
+    # driver stops dispatching node windows and gives the DFS the whole
+    # host core (the 1-CPU host otherwise splits it and the final proof
+    # misses the budget).  0 disables.
+    endgame_frontier: int = 256
     # Repeated core rounds (CFT core-refresh style): after a round improves
     # the incumbent the core is rebuilt around the new support and searched
     # again; a non-improving round doubles the core size once before

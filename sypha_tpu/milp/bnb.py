@@ -992,6 +992,9 @@ def _branch_and_bound(
         and np.isfinite(best_obj)
         and warm_lower is not None
         and np.isfinite(warm_lower)
+        # same reach gate as async_closure_step: beyond ~1k active columns
+        # probe sessions are inconclusive churn even with good duals
+        and base.n_active <= 1024
     ):
         from sypha_tpu import native as _native
 
@@ -2398,6 +2401,25 @@ def _branch_and_bound(
                     f"MIP gap {cur_gap * 100:.6f}% within LP tolerance; declaring optimal"
                 )
                 break
+        # ---- endgame: give the final proof the whole host core ----
+        # One integer unit of gap + a plateaued frontier + the ladder
+        # grinding the final refutation (refute best_obj-1 == the
+        # optimality proof): tree windows only steal host cycles from the
+        # one mechanism that can end the run.  Measured scpnre3: 2175
+        # nodes / 36k lp_iters of ZERO bound progress ran beside a final
+        # refute that needs 156 s dedicated — and starved it past the
+        # budget.  Idle the device, poll the worker, re-check the clock.
+        if (
+            aclosure is not None
+            and aclosure.busy()
+            and obj_is_integral
+            and np.isfinite(best_obj)
+            and np.isfinite(global_lower)
+            and best_obj - global_lower <= 1.0 + int_tol
+            and len(frontier) >= bnb.endgame_frontier > 0
+        ):
+            time.sleep(0.2)  # releases the GIL; the DFS owns the core
+            continue
         if iterations_reduced and now >= next_closure_try:
             refresh_root_bound()
             st = _closure_inconclusive
