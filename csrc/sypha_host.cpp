@@ -551,6 +551,21 @@ struct ExactCoverCtx {
     // cost (measured 14.7e9 candidate visits on the scpnre3 budget-25
     // face) and the banned-branch blocked vectorization.
     std::vector<double> redc_eff;
+    // per-row zero-slack witness: the candidate last observed at zero
+    // slack for row r.  Most gathers on near-saturated plateau faces end
+    // at SOME zero-slack candidate; caching which one turns the rescan
+    // (front of the cost-sorted list every time) into a single load.
+    // Purely an accelerator: a stale witness (slack rose on undo, or the
+    // column was banned so redc_eff is 1e300) just fails the <=0 check
+    // and the full gather runs — DFS semantics and call counts unchanged.
+    std::vector<int32_t> witness;
+    // live (non-banned) candidate count per row, maintained by
+    // ban_col/unban_col.  Two uses: the most-constrained branch-row pick
+    // reflects bans (the static n_cands overcounts deep in the tree,
+    // where sibling-exclusion bans thin the real choice set), and a row
+    // whose live count hits zero refutes the node at scan time, before
+    // any ascent work.
+    std::vector<int32_t> live_cands;
     std::vector<std::pair<int32_t, double>> ulog;
     // --- sibling-exclusion branching ---
     // Branching on row r's candidates i_1..i_k partitions the covers by
@@ -585,6 +600,38 @@ struct ExactCoverCtx {
     }
 };
 
+// ban/unban column i, keeping the banned flag, the redc_eff shadow, and
+// the per-row live-candidate counts consistent.  Every ban in the DFS is
+// node-scoped (pushed to bans_here, released on exit), so the counts
+// nest exactly with the search.
+inline void ban_col(ExactCoverCtx& ctx, int32_t i) {
+    ctx.banned[static_cast<size_t>(i)] = 1;
+    ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
+    const uint64_t* mi = ctx.masks + static_cast<size_t>(i) * ctx.nwords;
+    for (int64_t w = 0; w < ctx.nwords; ++w) {
+        uint64_t m = mi[w] & ctx.full[w];
+        while (m) {
+            const int bit = __builtin_ctzll(m);
+            m &= m - 1;
+            --ctx.live_cands[static_cast<size_t>((w << 6) + bit)];
+        }
+    }
+}
+
+inline void unban_col(ExactCoverCtx& ctx, int32_t i) {
+    ctx.banned[static_cast<size_t>(i)] = 0;
+    ctx.redc_eff[static_cast<size_t>(i)] = ctx.redc[static_cast<size_t>(i)];
+    const uint64_t* mi = ctx.masks + static_cast<size_t>(i) * ctx.nwords;
+    for (int64_t w = 0; w < ctx.nwords; ++w) {
+        uint64_t m = mi[w] & ctx.full[w];
+        while (m) {
+            const int bit = __builtin_ctzll(m);
+            m &= m - 1;
+            ++ctx.live_cands[static_cast<size_t>((w << 6) + bit)];
+        }
+    }
+}
+
 // apply u[r] += d and redc[by_row[r]] -= d, logged for undo.  Two uses:
 // ascent (d > 0: raise a row's multiplier into its candidates' slack) and
 // descend (d = -u[r] when row r becomes covered: zero its multiplier and
@@ -613,13 +660,22 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                 const int bit = __builtin_ctzll(miss);
                 miss &= miss - 1;
                 const int32_t r = static_cast<int32_t>((w << 6) + bit);
+                // witness fast path: if the cached zero-slack candidate
+                // still has zero slack, the min is 0 and the row gains
+                // nothing — skip the gather (one load vs a list rescan)
+                const int32_t wv = ctx.witness[static_cast<size_t>(r)];
+                if (wv >= 0 && ctx.redc_eff[static_cast<size_t>(wv)] <= 1e-12) {
+                    ++ctx.n_asc_visits;
+                    continue;
+                }
                 const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
                 double d = 1e300;
+                int32_t amin = -1;
                 int64_t seen = 0;
                 for (int32_t i : cand) {
                     ++seen;
                     const double rcij = ctx.redc_eff[static_cast<size_t>(i)];
-                    d = rcij < d ? rcij : d;
+                    if (rcij < d) { d = rcij; amin = i; }
                     // redc >= 0 is an ascent invariant, so a zero-slack
                     // candidate ends the min-gather exactly: the row can
                     // gain nothing this sweep.  The gather is the DFS's
@@ -637,6 +693,9 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                     lb_u += d;
                     gained += d;
                 }
+                // after the raise the argmin's slack is exactly 0 — it is
+                // this row's zero-slack witness either way
+                if (amin >= 0) ctx.witness[static_cast<size_t>(r)] = amin;
             }
         }
         if (gained < 1e-9) break;
@@ -659,22 +718,32 @@ double ascend_after_ban(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
             const int bit = __builtin_ctzll(miss);
             miss &= miss - 1;
             const int32_t r = static_cast<int32_t>((w << 6) + bit);
+            // witness fast path (see ascend_pass): a still-zero-slack
+            // cached candidate proves the row gains nothing from the ban
+            const int32_t wv = ctx.witness[static_cast<size_t>(r)];
+            if (wv >= 0 && ctx.redc_eff[static_cast<size_t>(wv)] <= 1e-12) {
+                ++ctx.n_asc_visits;
+                continue;
+            }
             const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
             double d = 1e300;
+            int32_t amin = -1;
             int64_t seen = 0;
             for (int32_t i : cand) {
                 ++seen;
-                if (ctx.banned[static_cast<size_t>(i)]) continue;
-                const double rcij = ctx.redc[static_cast<size_t>(i)];
-                if (rcij < d) d = rcij;
+                // redc_eff is 1e300 for banned columns — one load covers
+                // both the ban skip and the slack
+                const double rcij = ctx.redc_eff[static_cast<size_t>(i)];
+                if (rcij < d) { d = rcij; amin = i; }
                 if (d <= 1e-12) break;  // zero slack: no gain possible
             }
             ctx.n_asc_visits += seen;
-            if (d >= 1e300) return 1e300;  // row uncoverable here: prune
+            if (d >= 1e290) return 1e300;  // row uncoverable here: prune
             if (d > 1e-12) {
                 dual_apply(ctx, r, d);
                 lb_u += d;
             }
+            if (amin >= 0) ctx.witness[static_cast<size_t>(r)] = amin;
         }
     }
     return lb_u;
@@ -722,11 +791,15 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
                 lb_dual += ctx.dualw[rr];
                 if (ctx.row_min[rr] > lb_max) lb_max = ctx.row_min[rr];
             }
-            if (ctx.n_cands[rr] < pick_c) { pick_c = ctx.n_cands[rr]; r_pick = rr; }
+            const int32_t lc = ctx.live_cands[static_cast<size_t>(rr)];
+            if (lc < pick_c) { pick_c = lc; r_pick = rr; }
             miss &= miss - 1;
         }
     }
     if (r_pick < 0) return true;  // covered
+    // an uncovered row with no live candidate refutes the node outright
+    // (every ban is completion-preserving in this subtree's scope)
+    if (pick_c == 0) return false;
     const double cmass = ctx.ncuts ? ctx.cut_mass() : 0.0;
     double lb = lb_spread > lb_max ? lb_spread : lb_max;
     if (lb_dual - ctx.dual_eps > lb) lb = lb_dual - ctx.dual_eps;
@@ -788,8 +861,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
                     if (mi[w] & u & ~mj[w]) { subset = false; break; }
                 }
                 if (subset) {
-                    ctx.banned[static_cast<size_t>(i)] = 1;
-                    ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
+                    ban_col(ctx, i);
                     bans_here.push_back(i);
                     break;
                 }
@@ -803,8 +875,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // (y-coverage of i) and the completion pays rc_i on top, so ANY
         // qualifying completion containing i costs > budget: ban it
         if (cost + ctx.lbr(lb_dual + ctx.rc[i]) > ctx.budget + 1e-9) {
-            ctx.banned[static_cast<size_t>(i)] = 1;
-            ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
+            ban_col(ctx, i);
             bans_here.push_back(i);
             continue;
         }
@@ -816,8 +887,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         if (ctx.ascend &&
             cost + ctx.lbr(lb_u + cmass + ctx.redc[static_cast<size_t>(i)]) >
                 ctx.budget + 1e-9) {
-            ctx.banned[static_cast<size_t>(i)] = 1;
-            ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
+            ban_col(ctx, i);
             bans_here.push_back(i);
             continue;
         }
@@ -870,8 +940,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         ascend_undo(ctx, cmark);
         if (ctx.timed_out) break;
         // branch refuted: no qualifying completion contains i
-        ctx.banned[static_cast<size_t>(i)] = 1;
-        ctx.redc_eff[static_cast<size_t>(i)] = 1e300;
+        ban_col(ctx, i);
         bans_here.push_back(i);
         // the ban may tighten this node's own bound: re-ascend the rows
         // the ban released (rows(i) only — see ascend_after_ban) and
@@ -883,11 +952,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
                 break;
         }
     }
-    for (int32_t i : bans_here) {
-        ctx.banned[static_cast<size_t>(i)] = 0;
-        ctx.redc_eff[static_cast<size_t>(i)] =
-            ctx.redc[static_cast<size_t>(i)];
-    }
+    for (int32_t i : bans_here) unban_col(ctx, i);
     ascend_undo(ctx, umark);
     return found;
 }
@@ -1061,6 +1126,7 @@ int exact_cover_impl(
         ctx.u = std::move(u0);
         ctx.redc = std::move(redc0);
         ctx.redc_eff = ctx.redc;
+        ctx.witness.assign(static_cast<size_t>(nrows), -1);
         ctx.ulog.reserve(1024);
     }
     ctx.ncuts = nce;
@@ -1206,6 +1272,9 @@ int exact_cover_impl(
         // the ascended u is the DFS root baseline, never undone
         ctx.ulog.clear();
     }
+    // after the probe filter has rebuilt by_row/n_cands: seed the live
+    // (non-banned) per-row candidate counts the DFS maintains via bans
+    ctx.live_cands.assign(n_cands.begin(), n_cands.end());
     const bool found = exact_cover_dfs(ctx, cov, 0.0, 0);
     if (std::getenv("SYPHA_EC_STATS") != nullptr)
         std::fprintf(stderr,

@@ -297,6 +297,45 @@ class _NodeLpSolver:
         deadline: float = np.inf,
         total_iters: Optional[int] = None,
     ):
+        """Device-loss guard around :meth:`_solve_nodes_impl`: a crashed
+        remote TPU worker (kernel fault) poisons every later dispatch in
+        this process, so the window degrades to INFEASIBLE_OR_NUMERICAL
+        lanes — the driver's status lattice already treats those soundly
+        (no pruning, subtree recorded in numerical_failures) — and
+        ``self.device_lost`` tells the main loop to stop dispatching."""
+        if self.device_lost:
+            return self._failed_window(nodes)
+        try:
+            return self._solve_nodes_impl(nodes, opts, deadline, total_iters)
+        except Exception as e:  # noqa: BLE001 — filtered to device loss
+            if not _is_device_loss(e):
+                raise
+            self.device_lost = True
+            self.log.warn(f"device lost during node window: {e}")
+            return self._failed_window(nodes)
+
+    def _failed_window(self, nodes: List[BranchNode]):
+        return [
+            {
+                "status": IpmStatus.INFEASIBLE_OR_NUMERICAL,
+                "iterations": 0,
+                "x": np.zeros(self.base.ncols),
+                "y": np.zeros(self.base.nrows),
+                "pobj": np.inf,
+                "dobj": -np.inf,
+                "res_d": np.inf,
+                "warm": None,
+            }
+            for _ in nodes
+        ]
+
+    def _solve_nodes_impl(
+        self,
+        nodes: List[BranchNode],
+        opts,
+        deadline: float = np.inf,
+        total_iters: Optional[int] = None,
+    ):
         """Solve a batch of node LPs; returns host-side per-node dicts.
 
         ``deadline`` (absolute time.monotonic()) bounds the wall time: the
@@ -812,6 +851,22 @@ def branch_and_bound(
         ),
     )
     return res
+
+
+def _is_device_loss(e: Exception) -> bool:
+    """True for runtime errors meaning the TPU device/worker is gone: the
+    remote worker crashing mid-run (UNAVAILABLE, kernel fault — observed
+    repeatedly on 1000x10000 shapes) or the tunnel's transient backend
+    faults.  Both poison every subsequent dispatch in this process, so the
+    search loop degrades to a host-state finalize instead of losing the
+    run (the reference's equivalent failure simply aborts,
+    src/sypha_solver_bnb_driver.cpp error paths)."""
+    msg = str(e)
+    return (
+        "worker process crashed" in msg
+        or "TPU backend error" in msg
+        or ("UNAVAILABLE" in msg and "TPU" in msg)
+    )
 
 
 def _branch_and_bound(
@@ -2327,425 +2382,441 @@ def _branch_and_bound(
                     compile_time_sec=compile_total + sub.compile_time_sec,
                 )
 
-    while processed < bnb.max_nodes:
-        now = time.monotonic()
-        if (hard_limit > 0 and (now - t_start) >= hard_limit) or log.is_stop_requested():
-            hard_limit_reached = True
-            log.info("BnB hard time limit reached")
-            break
-        if bnb.checkpoint_path and now >= next_ckpt:
-            save_checkpoint()
-            next_ckpt = now + bnb.checkpoint_interval_sec
-        if pool.n_processes > 1:
-            # multi-host cadence: pool incumbent/dual-bound/stop scalars
-            # over DCN once per window round (no-op single-process).  The
-            # incumbent *solution* stays on its owning host; a remote
-            # objective still prunes our frontier and closes our gap.
-            lo, _ = frontier_lower()
-            pooled = pool.sync(
-                best_obj,
-                lo if np.isfinite(lo) else global_lower,
-                False,
-                solution=(
-                    best_solution if np.isfinite(best_obj) else None
-                ),
-            )
-            # adopt the pooled incumbent BEFORE honoring a stop flag: a
-            # peer that proved optimality departs with stop=True AND the
-            # optimal objective in the same round
-            if pooled.incumbent < best_obj - px_tol:
-                # the cover bits ship with the objective (BoundPool wire
-                # format), so the (objective, solution) pair stays
-                # consistent; verify cost + cover before trusting the wire
-                sol = pooled.incumbent_solution
-                if sol is not None and sol.shape[0] >= n_input:
-                    cand = (sol[:n_input] > 0.5).astype(np.float64)
-                    cost = float(base.costs @ cand)
-                    if (
-                        abs(cost - pooled.incumbent)
-                        <= px_tol * max(1.0, abs(cost))
-                        and base.is_cover(cand)
-                    ):
-                        best_solution = cand
-                        best_obj = pooled.incumbent
-                        incumbent_source = "pooled_remote"
-                        log.info(
-                            f"Pooled remote incumbent: {best_obj:.12g}"
-                        )
-                        prune_frontier()
-                    else:
-                        log.warn(
-                            "Pooled incumbent bits failed verification; "
-                            "ignoring the remote value"
-                        )
-                else:
-                    # no bits on the wire (a peer synced without its
-                    # cover): keep our own consistent (objective,
-                    # solution) pair; the bits arrive on the peer's next
-                    # cadence round
-                    log.info(
-                        f"Pooled remote objective {pooled.incumbent:.12g} "
-                        "arrived without cover bits; waiting for them"
-                    )
-            if pooled.stop:
+    # Device-loss resilience: the remote TPU worker can crash mid-sweep
+    # (kernel fault, observed repeatedly on 1000x10000 shapes, 2026-08-19/20).
+    # The crash poisons every subsequent device call in this process, but
+    # the host-side search state (incumbent, frontier bounds, closure
+    # refutations) is intact — so instead of losing the whole run, stop
+    # dispatching device work and finalize an honest FEASIBLE result.
+    # Optimality is still claimable if the gap had already closed.
+    device_lost = False
+    try:
+        while processed < bnb.max_nodes:
+            now = time.monotonic()
+            if (hard_limit > 0 and (now - t_start) >= hard_limit) or log.is_stop_requested():
                 hard_limit_reached = True
-                log.info("Stop flag pooled from a peer process")
+                log.info("BnB hard time limit reached")
                 break
-        if aclosure is not None and async_closure_step():
-            continue  # search closed; the empty-frontier exit fires next
-        if np.isfinite(best_obj) and np.isfinite(global_lower):
-            cur_gap = compute_mip_gap(best_obj, global_lower)
-            if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:
-                gap_tolerance_reached = True
-                log.info(
-                    f"MIP gap {cur_gap * 100:.6f}% within LP tolerance; declaring optimal"
+            if bnb.checkpoint_path and now >= next_ckpt:
+                save_checkpoint()
+                next_ckpt = now + bnb.checkpoint_interval_sec
+            if pool.n_processes > 1:
+                # multi-host cadence: pool incumbent/dual-bound/stop scalars
+                # over DCN once per window round (no-op single-process).  The
+                # incumbent *solution* stays on its owning host; a remote
+                # objective still prunes our frontier and closes our gap.
+                lo, _ = frontier_lower()
+                pooled = pool.sync(
+                    best_obj,
+                    lo if np.isfinite(lo) else global_lower,
+                    False,
+                    solution=(
+                        best_solution if np.isfinite(best_obj) else None
+                    ),
                 )
-                break
-        # ---- endgame: give the final proof the whole host core ----
-        # One integer unit of gap + a plateaued frontier + the ladder
-        # grinding the final refutation (refute best_obj-1 == the
-        # optimality proof): tree windows only steal host cycles from the
-        # one mechanism that can end the run.  Measured scpnre3: 2175
-        # nodes / 36k lp_iters of ZERO bound progress ran beside a final
-        # refute that needs 156 s dedicated — and starved it past the
-        # budget.  Idle the device, poll the worker, re-check the clock.
-        if (
-            aclosure is not None
-            and aclosure.busy()
-            and obj_is_integral
-            and np.isfinite(best_obj)
-            and np.isfinite(global_lower)
-            and best_obj - global_lower <= 1.0 + int_tol
-            and len(frontier) >= bnb.endgame_frontier > 0
-        ):
-            time.sleep(0.2)  # releases the GIL; the DFS owns the core
-            continue
-        if iterations_reduced and now >= next_closure_try:
-            refresh_root_bound()
-            st = _closure_inconclusive
-            next_closure_try = time.monotonic() + max(
-                10.0, 2.0 * st["budget"] if st is not None else 0.0
-            )
-            if not frontier:
-                continue  # closed by the refresh/closure chain
-        if bnb.log_interval_sec > 0 and now >= next_log:
-            lo, raw = frontier_lower()
-            if np.isfinite(lo):
-                global_lower = lo
-            elif not frontier:
-                global_lower = best_obj
-            if np.isfinite(raw):
-                global_lower_raw = raw
-            elif not frontier:
-                global_lower_raw = best_obj
-            g = compute_mip_gap(best_obj, global_lower_raw)
-            log.info(
-                f"  nodes={processed:4d} frontier={len(frontier):4d} "
-                f"lp_iters={total_lp_iters:5d} cuts={root_cuts + tree_cuts:4d} "
-                f"incumbent={best_obj:10.6g} dual={global_lower_raw:10.6g} "
-                f"gap={g * 100:.4f}%"
-            )
-            if log.verbosity >= 4:
-                # device-memory telemetry on the progress cadence (the
-                # reference samples GPU memory around every linear solve,
-                # src/sypha_solver.cpp:209-216, :805-817; per-window
-                # sampling here costs one local runtime call)
-                from sypha_tpu.utils.telemetry import device_memory_stats
-
-                mem = device_memory_stats()
-                if mem is not None:
-                    log.debug(f"  device memory: {mem}")
-            next_log = now + bnb.log_interval_sec
-
-        # pop a batch of live nodes, best-bound-first with deeper nodes
-        # breaking ties (the window solves as one real batch, so taking the
-        # lowest parent bounds tightens the global bound fastest while the
-        # depth tie-break keeps a diving flavor for incumbents; the
-        # reference processes its window one node at a time, DFS-ish)
-        frontier = deque(
-            sorted(frontier, key=lambda n: (n.parent_dual_bound, -n.depth))
-        )
-        batch: List[BranchNode] = []
-        while frontier and len(batch) < bnb.node_batch:
-            n = frontier.popleft()
-            if n.parent_dual_bound >= best_obj - px_tol:
+                # adopt the pooled incumbent BEFORE honoring a stop flag: a
+                # peer that proved optimality departs with stop=True AND the
+                # optimal objective in the same round
+                if pooled.incumbent < best_obj - px_tol:
+                    # the cover bits ship with the objective (BoundPool wire
+                    # format), so the (objective, solution) pair stays
+                    # consistent; verify cost + cover before trusting the wire
+                    sol = pooled.incumbent_solution
+                    if sol is not None and sol.shape[0] >= n_input:
+                        cand = (sol[:n_input] > 0.5).astype(np.float64)
+                        cost = float(base.costs @ cand)
+                        if (
+                            abs(cost - pooled.incumbent)
+                            <= px_tol * max(1.0, abs(cost))
+                            and base.is_cover(cand)
+                        ):
+                            best_solution = cand
+                            best_obj = pooled.incumbent
+                            incumbent_source = "pooled_remote"
+                            log.info(
+                                f"Pooled remote incumbent: {best_obj:.12g}"
+                            )
+                            prune_frontier()
+                        else:
+                            log.warn(
+                                "Pooled incumbent bits failed verification; "
+                                "ignoring the remote value"
+                            )
+                    else:
+                        # no bits on the wire (a peer synced without its
+                        # cover): keep our own consistent (objective,
+                        # solution) pair; the bits arrive on the peer's next
+                        # cadence round
+                        log.info(
+                            f"Pooled remote objective {pooled.incumbent:.12g} "
+                            "arrived without cover bits; waiting for them"
+                        )
+                if pooled.stop:
+                    hard_limit_reached = True
+                    log.info("Stop flag pooled from a peer process")
+                    break
+            if aclosure is not None and async_closure_step():
+                continue  # search closed; the empty-frontier exit fires next
+            if np.isfinite(best_obj) and np.isfinite(global_lower):
+                cur_gap = compute_mip_gap(best_obj, global_lower)
+                if np.isfinite(cur_gap) and cur_gap <= mip_gap_tol:
+                    gap_tolerance_reached = True
+                    log.info(
+                        f"MIP gap {cur_gap * 100:.6f}% within LP tolerance; declaring optimal"
+                    )
+                    break
+            # ---- endgame: give the final proof the whole host core ----
+            # One integer unit of gap + a plateaued frontier + the ladder
+            # grinding the final refutation (refute best_obj-1 == the
+            # optimality proof): tree windows only steal host cycles from the
+            # one mechanism that can end the run.  Measured scpnre3: 2175
+            # nodes / 36k lp_iters of ZERO bound progress ran beside a final
+            # refute that needs 156 s dedicated — and starved it past the
+            # budget.  Idle the device, poll the worker, re-check the clock.
+            if (
+                aclosure is not None
+                and aclosure.busy()
+                and obj_is_integral
+                and np.isfinite(best_obj)
+                and np.isfinite(global_lower)
+                and best_obj - global_lower <= 1.0 + int_tol
+                and len(frontier) >= bnb.endgame_frontier > 0
+            ):
+                time.sleep(0.2)  # releases the GIL; the DFS owns the core
                 continue
-            if any(d.value == 1 and not base.active[d.var] for d in n.decisions):
-                continue  # fixed-to-1 on masked column => infeasible node
-            batch.append(n)
-        if not batch:
-            if not frontier:
-                break
-            continue
+            if iterations_reduced and now >= next_closure_try:
+                refresh_root_bound()
+                st = _closure_inconclusive
+                next_closure_try = time.monotonic() + max(
+                    10.0, 2.0 * st["budget"] if st is not None else 0.0
+                )
+                if not frontier:
+                    continue  # closed by the refresh/closure chain
+            if bnb.log_interval_sec > 0 and now >= next_log:
+                lo, raw = frontier_lower()
+                if np.isfinite(lo):
+                    global_lower = lo
+                elif not frontier:
+                    global_lower = best_obj
+                if np.isfinite(raw):
+                    global_lower_raw = raw
+                elif not frontier:
+                    global_lower_raw = best_obj
+                g = compute_mip_gap(best_obj, global_lower_raw)
+                log.info(
+                    f"  nodes={processed:4d} frontier={len(frontier):4d} "
+                    f"lp_iters={total_lp_iters:5d} cuts={root_cuts + tree_cuts:4d} "
+                    f"incumbent={best_obj:10.6g} dual={global_lower_raw:10.6g} "
+                    f"gap={g * 100:.4f}%"
+                )
+                if log.verbosity >= 4:
+                    # device-memory telemetry on the progress cadence (the
+                    # reference samples GPU memory around every linear solve,
+                    # src/sypha_solver.cpp:209-216, :805-817; per-window
+                    # sampling here costs one local runtime call)
+                    from sypha_tpu.utils.telemetry import device_memory_stats
 
-        results = solver.solve_nodes(
-            batch,
-            full_opts,
-            deadline,
-            total_iters=reduced_iters if iterations_reduced else None,
-        )
-        tree_cut_cands = []
+                    mem = device_memory_stats()
+                    if mem is not None:
+                        log.debug(f"  device memory: {mem}")
+                next_log = now + bnb.log_interval_sec
 
-        for node_i, (node, res) in enumerate(zip(batch, results)):
-            if node_i > 0 and time_up():
-                # the hard limit fired mid-window (host phases per node can
-                # be expensive); re-queue the unprocessed nodes with their
-                # parent bounds intact and stop
-                frontier.extend(batch[node_i:])
-                break
-            if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
-                if node_coverable(node):
-                    # the node LP is actually feasible: the failure is
-                    # numerical.  The reference prunes failed non-root
-                    # nodes and continues (src/sypha_solver_bnb_driver.cpp:
-                    # 844-859); we do the same but keep the node's parent
-                    # bound alive in the global bound via bookkeeping.
+            # pop a batch of live nodes, best-bound-first with deeper nodes
+            # breaking ties (the window solves as one real batch, so taking the
+            # lowest parent bounds tightens the global bound fastest while the
+            # depth tie-break keeps a diving flavor for incumbents; the
+            # reference processes its window one node at a time, DFS-ish)
+            frontier = deque(
+                sorted(frontier, key=lambda n: (n.parent_dual_bound, -n.depth))
+            )
+            batch: List[BranchNode] = []
+            while frontier and len(batch) < bnb.node_batch:
+                n = frontier.popleft()
+                if n.parent_dual_bound >= best_obj - px_tol:
+                    continue
+                if any(d.value == 1 and not base.active[d.var] for d in n.decisions):
+                    continue  # fixed-to-1 on masked column => infeasible node
+                batch.append(n)
+            if not batch:
+                if not frontier:
+                    break
+                continue
+
+            results = solver.solve_nodes(
+                batch,
+                full_opts,
+                deadline,
+                total_iters=reduced_iters if iterations_reduced else None,
+            )
+            tree_cut_cands = []
+
+            for node_i, (node, res) in enumerate(zip(batch, results)):
+                if node_i > 0 and time_up():
+                    # the hard limit fired mid-window (host phases per node can
+                    # be expensive); re-queue the unprocessed nodes with their
+                    # parent bounds intact and stop
+                    frontier.extend(batch[node_i:])
+                    break
+                if res["status"] == IpmStatus.INFEASIBLE_OR_NUMERICAL:
+                    if node_coverable(node):
+                        # the node LP is actually feasible: the failure is
+                        # numerical.  The reference prunes failed non-root
+                        # nodes and continues (src/sypha_solver_bnb_driver.cpp:
+                        # 844-859); we do the same but keep the node's parent
+                        # bound alive in the global bound via bookkeeping.
+                        log.warn(
+                            f"node LP numerical failure (depth {node.depth}); "
+                            "pruning node, bound unchanged"
+                        )
+                        numerical_failures.append(node)
+                        continue
+                    # genuinely infeasible node (fixings/maskings kill a row):
+                    # prune; an infeasible *root* with an incumbent means
+                    # presolve proved the incumbent optimal.  Only abort when
+                    # there is no incumbent either.
+                    if processed == 0 and not np.isfinite(best_obj):
+                        log.info("Root LP infeasible or numerically unstable; aborting BnB")
+                        return MilpResult(
+                            status=MilpStatus.ABNORMAL,
+                            objective=np.inf,
+                            dual_bound=np.inf,
+                            mip_gap=np.inf,
+                            nodes_processed=processed,
+                            total_lp_iterations=total_lp_iters,
+                            wall_time_sec=time.monotonic() - t_start,
+                            compile_time_sec=compile_total,
+                        )
+                    continue
+
+                processed += 1
+                total_lp_iters += res["iterations"]
+                sane = (
+                    np.isfinite(res["dobj"])
+                    and np.isfinite(res["pobj"])
+                    and res["dobj"] <= res["pobj"] + 1e-6
+                )
+                reliable = sane and res["status"] == IpmStatus.CONVERGED
+                # weak duality: any (near-)dual-feasible iterate's objective is a
+                # valid lower bound even without full convergence — stalled or
+                # iteration-capped node LPs (common with warm starts + the
+                # gap-stall window) can still tighten bounds, with a small
+                # slack for the residual dual infeasibility.
+                weak_ok = (
+                    not reliable
+                    and sane
+                    and res["status"] in (IpmStatus.GAP_STALLED, IpmStatus.MAX_ITER)
+                    and res["res_d"] <= 1e-7
+                )
+                if weak_ok:
+                    slack = max(1e-9, 1e-7 * abs(res["dobj"]))
+                    node_bound = res["dobj"] - slack
+                    reliable = True
+                elif reliable:
+                    node_bound = res["dobj"]
+                if reliable:
+                    note_pseudocost(node, node_bound)
+                # bounds are monotone down a subtree: never regress below parent
+                node_dual_raw = (
+                    max(node_bound, node.parent_dual_bound_raw)
+                    if reliable
+                    else node.parent_dual_bound_raw
+                )
+                node_dual = (
+                    max(node_bound, node.parent_dual_bound)
+                    if reliable
+                    else node.parent_dual_bound
+                )
+                if obj_is_integral and reliable and np.isfinite(node_dual):
+                    node_dual = tighten_dual_bound(node_dual, int_tol)
+                dual_improved = reliable and (
+                    node_dual > node.parent_dual_bound + px_tol
+                )
+
+                run_h = (
+                    processed == 1
+                    or (
+                        bnb.heuristic_every_n_nodes > 0
+                        and processed % bnb.heuristic_every_n_nodes == 0
+                    )
+                    or dual_improved
+                )
+                # cheap 2-threshold repair per node; full sweep every 16th
+                if run_h and try_heuristics(res, node, thorough=(processed % 16 == 1)):
+                    node_at_last_improvement = processed
+                    prune_frontier()
+                    mid_bnb_reductions()
+
+                if node_dual >= best_obj - px_tol:
+                    continue
+
+                # --- terminal / branch decision.  Every node must end in one
+                # of: bound-prune (above), exact close (CONVERGED integral
+                # LP), branch, or an EXPLICIT numerical-failure record that
+                # caps optimality claims.  A silent close is unsound: a lane
+                # that stalls on an integral-but-not-better iterate has
+                # neither solved nor bounded its subtree (this once "proved"
+                # 495 on scp44 whose optimum is 494).  Unbranchable nodes get
+                # one rescue re-solve at full accuracy (no stall window)
+                # before being declared failures. ---
+                var = -1
+                for attempt in (0, 1):
+                    if integral_cover(res):
+                        if res["pobj"] < best_obj - px_tol:
+                            x_int = np.clip(np.floor(res["x"] + 0.5), 0, 1)
+                            adopt(x_int, "exact_node", float(base.costs @ x_int))
+                            node_at_last_improvement = processed
+                            log.info(f"New incumbent from node LP: {best_obj:.12g}")
+                            prune_frontier()
+                            mid_bnb_reductions()
+                        if res["status"] == IpmStatus.CONVERGED:
+                            # the node's LP optimum is integral: subtree solved
+                            var = -2
+                            break
+                    cands = fractional_candidates(res["x"], base.ncols, int_tol)
+                    cands = cands[base.active[cands]]
+                    if len(cands):
+                        # candidate for in-tree cut separation (below, after
+                        # the window): bound-improving nodes first, but
+                        # plateau nodes — whose LP re-finds the SAME stuck
+                        # bound — are exactly where new cuts must come from
+                        if dual_improved:
+                            tree_cut_cands.insert(0, res)
+                        else:
+                            tree_cut_cands.append(res)
+                        if (
+                            bnb.strong_branch_depth > 0
+                            and node.depth <= bnb.strong_branch_depth
+                            and len(cands) > 1
+                        ):
+                            var = strong_branch_variable(node, res, cands)
+                        if var < 0:
+                            if bnb.var_selection == "pseudocost":
+                                var = pseudocost_pick(res["x"], cands)
+                            else:
+                                var = select_branch_variable(
+                                    bnb.var_selection, res["x"], base.costs, cands
+                                )
+                    if var >= 0 or attempt == 1:
+                        break
+                    log.debug(
+                        f"rescue re-solve of unbranchable node (depth {node.depth})"
+                    )
+                    res = solver.solve_nodes([node], ipm_opts, deadline)[0]
+                    total_lp_iters += res["iterations"]
+                    if usable_bound(res):
+                        rb = res["dobj"]
+                        if res["status"] != IpmStatus.CONVERGED:
+                            rb -= max(1e-9, 1e-7 * abs(rb))
+                        node_dual_raw = max(node_dual_raw, rb)
+                        nd = max(node.parent_dual_bound, rb)
+                        if obj_is_integral:
+                            nd = tighten_dual_bound(nd, int_tol)
+                        node_dual = max(node_dual, nd)
+                if var == -2 or node_dual >= best_obj - px_tol:
+                    continue
+                if var < 0 and not node_coverable(node):
+                    # masking/fixings genuinely killed a row: the node LP is
+                    # infeasible by construction (e.g. incumbent reductions
+                    # masked every improving column) — a sound prune
+                    continue
+                if var < 0:
                     log.warn(
-                        f"node LP numerical failure (depth {node.depth}); "
-                        "pruning node, bound unchanged"
+                        f"node LP unbranchable after rescue (depth {node.depth}, "
+                        f"status {res['status'].name}); recording as numerical "
+                        "failure — optimality claims stay capped at its bound"
+                    )
+                    # carry the best justified bound into the failure record so
+                    # the final claim is capped as tightly as possible
+                    node.parent_dual_bound = max(node.parent_dual_bound, node_dual)
+                    node.parent_dual_bound_raw = max(
+                        node.parent_dual_bound_raw, node_dual_raw
                     )
                     numerical_failures.append(node)
                     continue
-                # genuinely infeasible node (fixings/maskings kill a row):
-                # prune; an infeasible *root* with an incumbent means
-                # presolve proved the incumbent optimal.  Only abort when
-                # there is no incumbent either.
-                if processed == 0 and not np.isfinite(best_obj):
-                    log.info("Root LP infeasible or numerically unstable; aborting BnB")
-                    return MilpResult(
-                        status=MilpStatus.ABNORMAL,
-                        objective=np.inf,
-                        dual_bound=np.inf,
-                        mip_gap=np.inf,
-                        nodes_processed=processed,
-                        total_lp_iterations=total_lp_iters,
-                        wall_time_sec=time.monotonic() - t_start,
-                        compile_time_sec=compile_total,
-                    )
-                continue
-
-            processed += 1
-            total_lp_iters += res["iterations"]
-            sane = (
-                np.isfinite(res["dobj"])
-                and np.isfinite(res["pobj"])
-                and res["dobj"] <= res["pobj"] + 1e-6
-            )
-            reliable = sane and res["status"] == IpmStatus.CONVERGED
-            # weak duality: any (near-)dual-feasible iterate's objective is a
-            # valid lower bound even without full convergence — stalled or
-            # iteration-capped node LPs (common with warm starts + the
-            # gap-stall window) can still tighten bounds, with a small
-            # slack for the residual dual infeasibility.
-            weak_ok = (
-                not reliable
-                and sane
-                and res["status"] in (IpmStatus.GAP_STALLED, IpmStatus.MAX_ITER)
-                and res["res_d"] <= 1e-7
-            )
-            if weak_ok:
-                slack = max(1e-9, 1e-7 * abs(res["dobj"]))
-                node_bound = res["dobj"] - slack
-                reliable = True
-            elif reliable:
-                node_bound = res["dobj"]
-            if reliable:
-                note_pseudocost(node, node_bound)
-            # bounds are monotone down a subtree: never regress below parent
-            node_dual_raw = (
-                max(node_bound, node.parent_dual_bound_raw)
-                if reliable
-                else node.parent_dual_bound_raw
-            )
-            node_dual = (
-                max(node_bound, node.parent_dual_bound)
-                if reliable
-                else node.parent_dual_bound
-            )
-            if obj_is_integral and reliable and np.isfinite(node_dual):
-                node_dual = tighten_dual_bound(node_dual, int_tol)
-            dual_improved = reliable and (
-                node_dual > node.parent_dual_bound + px_tol
-            )
-
-            run_h = (
-                processed == 1
-                or (
-                    bnb.heuristic_every_n_nodes > 0
-                    and processed % bnb.heuristic_every_n_nodes == 0
-                )
-                or dual_improved
-            )
-            # cheap 2-threshold repair per node; full sweep every 16th
-            if run_h and try_heuristics(res, node, thorough=(processed % 16 == 1)):
-                node_at_last_improvement = processed
-                prune_frontier()
-                mid_bnb_reductions()
-
-            if node_dual >= best_obj - px_tol:
-                continue
-
-            # --- terminal / branch decision.  Every node must end in one
-            # of: bound-prune (above), exact close (CONVERGED integral
-            # LP), branch, or an EXPLICIT numerical-failure record that
-            # caps optimality claims.  A silent close is unsound: a lane
-            # that stalls on an integral-but-not-better iterate has
-            # neither solved nor bounded its subtree (this once "proved"
-            # 495 on scp44 whose optimum is 494).  Unbranchable nodes get
-            # one rescue re-solve at full accuracy (no stall window)
-            # before being declared failures. ---
-            var = -1
-            for attempt in (0, 1):
-                if integral_cover(res):
-                    if res["pobj"] < best_obj - px_tol:
-                        x_int = np.clip(np.floor(res["x"] + 0.5), 0, 1)
-                        adopt(x_int, "exact_node", float(base.costs @ x_int))
-                        node_at_last_improvement = processed
-                        log.info(f"New incumbent from node LP: {best_obj:.12g}")
-                        prune_frontier()
-                        mid_bnb_reductions()
-                    if res["status"] == IpmStatus.CONVERGED:
-                        # the node's LP optimum is integral: subtree solved
-                        var = -2
-                        break
-                cands = fractional_candidates(res["x"], base.ncols, int_tol)
-                cands = cands[base.active[cands]]
-                if len(cands):
-                    # candidate for in-tree cut separation (below, after
-                    # the window): bound-improving nodes first, but
-                    # plateau nodes — whose LP re-finds the SAME stuck
-                    # bound — are exactly where new cuts must come from
-                    if dual_improved:
-                        tree_cut_cands.insert(0, res)
-                    else:
-                        tree_cut_cands.append(res)
-                    if (
-                        bnb.strong_branch_depth > 0
-                        and node.depth <= bnb.strong_branch_depth
-                        and len(cands) > 1
-                    ):
-                        var = strong_branch_variable(node, res, cands)
-                    if var < 0:
-                        if bnb.var_selection == "pseudocost":
-                            var = pseudocost_pick(res["x"], cands)
-                        else:
-                            var = select_branch_variable(
-                                bnb.var_selection, res["x"], base.costs, cands
-                            )
-                if var >= 0 or attempt == 1:
-                    break
-                log.debug(
-                    f"rescue re-solve of unbranchable node (depth {node.depth})"
-                )
-                res = solver.solve_nodes([node], ipm_opts, deadline)[0]
-                total_lp_iters += res["iterations"]
-                if usable_bound(res):
-                    rb = res["dobj"]
-                    if res["status"] != IpmStatus.CONVERGED:
-                        rb -= max(1e-9, 1e-7 * abs(rb))
-                    node_dual_raw = max(node_dual_raw, rb)
-                    nd = max(node.parent_dual_bound, rb)
-                    if obj_is_integral:
-                        nd = tighten_dual_bound(nd, int_tol)
-                    node_dual = max(node_dual, nd)
-            if var == -2 or node_dual >= best_obj - px_tol:
-                continue
-            if var < 0 and not node_coverable(node):
-                # masking/fixings genuinely killed a row: the node LP is
-                # infeasible by construction (e.g. incumbent reductions
-                # masked every improving column) — a sound prune
-                continue
-            if var < 0:
-                log.warn(
-                    f"node LP unbranchable after rescue (depth {node.depth}, "
-                    f"status {res['status'].name}); recording as numerical "
-                    "failure — optimality claims stay capped at its bound"
-                )
-                # carry the best justified bound into the failure record so
-                # the final claim is capped as tightly as possible
-                node.parent_dual_bound = max(node.parent_dual_bound, node_dual)
-                node.parent_dual_bound_raw = max(
-                    node.parent_dual_bound_raw, node_dual_raw
-                )
-                numerical_failures.append(node)
-                continue
-            for value in (0, 1):
-                child = node.child(var, value)
-                if child is not None and child is not node:
-                    child.parent_dual_bound = node_dual
-                    child.parent_dual_bound_raw = node_dual_raw
-                    child.warm = res.get("warm")
-                    child.branch_frac = float(
-                        np.clip(res["x"][var], 0.0, 1.0)
-                    )
-                    frontier.append(child)
-
-            # adaptive LP-iteration throttling on MIP-gap stagnation
-            if bnb.gap_stagnation_window > 0 and np.isfinite(best_obj):
-                refresh = max(1, bnb.gap_stagnation_window // 5)
-                if processed % refresh == 0:
-                    lo, _ = frontier_lower()
-                    if np.isfinite(lo):
-                        global_lower = lo
-                cur_gap = compute_mip_gap(best_obj, global_lower)
-                if np.isfinite(cur_gap) and cur_gap < best_mip_gap_seen - 1e-8:
-                    best_mip_gap_seen = cur_gap
-                    node_at_last_improvement = processed
-                    if iterations_reduced:
-                        iterations_reduced = False
-                        log.info(
-                            f"MIP gap improved to {cur_gap * 100:.4f}%, restoring LP iterations"
+                for value in (0, 1):
+                    child = node.child(var, value)
+                    if child is not None and child is not node:
+                        child.parent_dual_bound = node_dual
+                        child.parent_dual_bound_raw = node_dual_raw
+                        child.warm = res.get("warm")
+                        child.branch_frac = float(
+                            np.clip(res["x"][var], 0.0, 1.0)
                         )
-                if (
-                    not iterations_reduced
-                    and processed - node_at_last_improvement
-                    >= bnb.gap_stagnation_window
-                ):
-                    iterations_reduced = True
-                    log.info(
-                        f"MIP gap stagnant for {bnb.gap_stagnation_window} nodes, "
-                        f"reducing LP iterations"
-                    )
+                        frontier.append(child)
 
-        # ---- in-tree cut separation ----
-        # Cuts separated from NODE LP points are globally valid here:
-        # branch decisions are column fixings, so the rows any CG
-        # aggregation touches are always original covering/cut rows
-        # (u >= 0 combination + integer rounding is valid for every
-        # integer cover).  The reference appends node-local cut rows
-        # instead (build_branch_model, src/sypha_solver_bnb.cpp:418-490);
-        # appending globally tightens EVERY open subtree at once, which is
-        # what plateaued SCP duals need.  Bounded by the padded bucket so
-        # no recompile ever triggers.
-        if (
-            bnb.cuts_enabled
-            and bnb.tree_cut_nodes_per_round > 0
-            and tree_cut_rounds < bnb.tree_cut_max_rounds
-            and tree_cut_cands
-        ):
-            room = solver.room_for_cuts()
-            added = []
-            for res_c in tree_cut_cands[: bnb.tree_cut_nodes_per_round]:
-                if len(added) >= room:
-                    break
-                cuts = separate_cuts(
-                    base, res_c["x"], res_c["y"], int_tol,
-                    bnb.max_cuts_per_round,
-                    incumbent=best_obj, obj_is_integral=obj_is_integral,
-                )
-                added += fresh_cuts(cuts, room - len(added))
-            if added:
-                base.add_cuts(added)
-                tree_cuts += len(added)
-                tree_cut_rounds += 1
-                solver.refresh()
-                log.debug(
-                    f"In-tree separation: +{len(added)} cuts "
-                    f"(total {tree_cuts}, room {solver.room_for_cuts()})"
-                )
-                # cuts raise the root bound -> refresh the frontier floor
-                # and re-run reduced-cost fixing against it
-                refresh_root_bound()
+                # adaptive LP-iteration throttling on MIP-gap stagnation
+                if bnb.gap_stagnation_window > 0 and np.isfinite(best_obj):
+                    refresh = max(1, bnb.gap_stagnation_window // 5)
+                    if processed % refresh == 0:
+                        lo, _ = frontier_lower()
+                        if np.isfinite(lo):
+                            global_lower = lo
+                    cur_gap = compute_mip_gap(best_obj, global_lower)
+                    if np.isfinite(cur_gap) and cur_gap < best_mip_gap_seen - 1e-8:
+                        best_mip_gap_seen = cur_gap
+                        node_at_last_improvement = processed
+                        if iterations_reduced:
+                            iterations_reduced = False
+                            log.info(
+                                f"MIP gap improved to {cur_gap * 100:.4f}%, restoring LP iterations"
+                            )
+                    if (
+                        not iterations_reduced
+                        and processed - node_at_last_improvement
+                        >= bnb.gap_stagnation_window
+                    ):
+                        iterations_reduced = True
+                        log.info(
+                            f"MIP gap stagnant for {bnb.gap_stagnation_window} nodes, "
+                            f"reducing LP iterations"
+                        )
+
+            # ---- in-tree cut separation ----
+            # Cuts separated from NODE LP points are globally valid here:
+            # branch decisions are column fixings, so the rows any CG
+            # aggregation touches are always original covering/cut rows
+            # (u >= 0 combination + integer rounding is valid for every
+            # integer cover).  The reference appends node-local cut rows
+            # instead (build_branch_model, src/sypha_solver_bnb.cpp:418-490);
+            # appending globally tightens EVERY open subtree at once, which is
+            # what plateaued SCP duals need.  Bounded by the padded bucket so
+            # no recompile ever triggers.
+            if (
+                bnb.cuts_enabled
+                and bnb.tree_cut_nodes_per_round > 0
+                and tree_cut_rounds < bnb.tree_cut_max_rounds
+                and tree_cut_cands
+            ):
+                room = solver.room_for_cuts()
+                added = []
+                for res_c in tree_cut_cands[: bnb.tree_cut_nodes_per_round]:
+                    if len(added) >= room:
+                        break
+                    cuts = separate_cuts(
+                        base, res_c["x"], res_c["y"], int_tol,
+                        bnb.max_cuts_per_round,
+                        incumbent=best_obj, obj_is_integral=obj_is_integral,
+                    )
+                    added += fresh_cuts(cuts, room - len(added))
+                if added:
+                    base.add_cuts(added)
+                    tree_cuts += len(added)
+                    tree_cut_rounds += 1
+                    solver.refresh()
+                    log.debug(
+                        f"In-tree separation: +{len(added)} cuts "
+                        f"(total {tree_cuts}, room {solver.room_for_cuts()})"
+                    )
+                    # cuts raise the root bound -> refresh the frontier floor
+                    # and re-run reduced-cost fixing against it
+                    refresh_root_bound()
+
+    except Exception as e:  # noqa: BLE001 — filtered to device loss below
+        if not _is_device_loss(e):
+            raise
+        device_lost = True
+        hard_limit_reached = True  # never claim frontier exhaustion
+        log.warn(f"device lost mid-search, finalizing from host state: {e}")
 
     # drain the background closure worker: a refutation that finished
     # while the loop was exiting still lifts the reported bound (and the
@@ -2834,7 +2905,7 @@ def _branch_and_bound(
         )
 
     log.info("No integer incumbent found within node limit")
-    if bnb.auto_fallback_lp:
+    if bnb.auto_fallback_lp and not device_lost:
         # reference --bnb-auto-fallback-lp (src/sypha_solver_bnb_driver.cpp:
         # 1138-1158): degrade MILP -> LP relaxation so the caller still gets
         # bounds + a fractional solution

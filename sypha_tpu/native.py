@@ -22,7 +22,12 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "..", "csrc", "sypha_host.cpp")
-_LIB_PATH = os.path.join(_HERE, "libsypha_host.so")
+# SYPHA_TPU_NATIVE_LIB points get_lib at an alternate build — used to A/B
+# engine variants (benchmark/face_replay.py --lib does the same explicitly)
+# and to run the test suite against a candidate .so without installing it
+_LIB_PATH = os.environ.get("SYPHA_TPU_NATIVE_LIB") or os.path.join(
+    _HERE, "libsypha_host.so"
+)
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None

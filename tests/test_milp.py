@@ -578,3 +578,68 @@ def test_std_bucket_rungs():
     assert _std_bucket_cols(2084) == 3072
     assert _std_bucket_cols(20000) == 20480  # beyond the ladder: 1024-mult
     assert list(_STD_RUNGS) == sorted(_STD_RUNGS)
+
+
+def test_device_loss_classifier():
+    from sypha_tpu.milp.bnb import _is_device_loss
+
+    assert _is_device_loss(
+        RuntimeError("UNAVAILABLE: TPU worker process crashed or restarted.")
+    )
+    assert _is_device_loss(
+        RuntimeError("FAILED_PRECONDITION: TPU backend error (Internal)")
+    )
+    assert not _is_device_loss(ValueError("shape mismatch"))
+    assert not _is_device_loss(RuntimeError("UNAVAILABLE: some other service"))
+
+
+def test_bnb_survives_device_loss(monkeypatch):
+    """A mid-search worker crash must finalize an honest host-state result
+    (never raise, never claim frontier exhaustion it did not reach)."""
+    from sypha_tpu.core.problem import ScpModel
+    from sypha_tpu.milp import bnb as bnb_mod
+
+    # an odd cycle (row i covered by columns i and i+1 mod n) has a
+    # fractional LP optimum (x = 1/2 everywhere); the slightly non-integral
+    # costs defeat the ceil dual-bound tightening, so the root cannot close
+    # and the tree genuinely branches
+    n = 9
+    rows = [np.array([i, (i + 1) % n], dtype=np.int32) for i in range(n)]
+    m = ScpModel(
+        nrows=n,
+        ncols=n,
+        costs=1.0 + 0.01 * np.arange(1, n + 1, dtype=np.float64),
+        rows=rows,
+        name="devloss",
+    )
+    real = bnb_mod._NodeLpSolver.solve_nodes
+    calls = {"n": 0}
+
+    def crashing(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError(
+                "UNAVAILABLE: TPU worker process crashed or restarted."
+            )
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(bnb_mod._NodeLpSolver, "solve_nodes", crashing)
+    # host phases that close tiny instances at the root are disabled so
+    # the tree actually branches and the crash fires mid-search
+    from sypha_tpu.config import BnbOptions
+
+    cfg = SolverConfig(
+        verbosity=0,
+        bnb=BnbOptions(
+            exact_closure=False,
+            cuts_enabled=False,
+            int_heuristics="",
+        ),
+    )
+    r = branch_and_bound(m, cfg)
+    assert calls["n"] >= 2, "crash injection never fired; test is vacuous"
+    # the run must complete with a structured result; with device work
+    # cut off after one window the claim depends on what the host phases
+    # (greedy cover, presolve) could still prove
+    assert r.status in (MilpStatus.OPTIMAL, MilpStatus.FEASIBLE, MilpStatus.NOT_SOLVED)
+    assert np.isfinite(r.wall_time_sec)
