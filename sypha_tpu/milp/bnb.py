@@ -145,6 +145,10 @@ class _NodeLpSolver:
         self.cfg = cfg
         self.log = log
         self.mesh = mesh  # jax Mesh => windows dispatch lane-sharded
+        # latched True by solve_nodes when a dispatch dies with a device-loss
+        # error (remote TPU worker crash / tunnel backend fault); every later
+        # window degrades to _failed_window and the main loop stops dispatching
+        self.device_lost = False
         self._device_base = None
         self._inactive = None
         self._bucket = (0, 0)  # sticky: only grows, to keep compiles cached
@@ -981,6 +985,36 @@ def _branch_and_bound(
         x[greedy.selected] = 1.0
         adopt(x, "greedy_set_cover", greedy.objective)
         log.info(f"Greedy heuristic incumbent: {best_obj:.12g}")
+
+    # ---- early incumbent exchange (multi-process) ----
+    # Publish the warm/greedy incumbent BEFORE the root phases and adopt
+    # whatever a peer already has: finalize-only publishing races a peer
+    # whose entire tree lasts milliseconds (warm-seeded root proofs), and
+    # an adopted incumbent makes every reduction below stronger.  The
+    # reference's incumbent is a host variable shared from t=0
+    # (src/sypha_solver_bnb_driver.cpp:256-258); this is its cross-process
+    # analogue.  Non-blocking: an unpublished peer donates nothing.
+    if pool.n_processes > 1:
+        pooled0 = pool.sync(
+            best_obj,
+            np.inf,  # no proven dual bound yet; +inf donates nothing
+            False,
+            solution=(best_solution if np.isfinite(best_obj) else None),
+        )
+        if pooled0.incumbent < best_obj - px_tol:
+            sol0 = pooled0.incumbent_solution
+            if sol0 is not None and sol0.shape[0] >= n_input:
+                cand0 = (sol0[:n_input] > 0.5).astype(np.float64)
+                cost0 = float(base.costs @ cand0)
+                if (
+                    abs(cost0 - pooled0.incumbent)
+                    <= px_tol * max(1.0, abs(cost0))
+                    and base.is_cover(cand0)
+                ):
+                    best_solution = cand0
+                    best_obj = pooled0.incumbent
+                    incumbent_source = "pooled_remote"
+                    log.info(f"Pooled remote incumbent: {best_obj:.12g}")
 
     # ---- phase 2 / 2.5 / 2.7: reductions ----
     def reduce_by_incumbent():
@@ -2397,6 +2431,17 @@ def _branch_and_bound(
                 hard_limit_reached = True
                 log.info("BnB hard time limit reached")
                 break
+            if solver.device_lost:
+                # a window absorbed a device loss (solve_nodes latched the
+                # flag and returned a failed window that the status lattice
+                # already treated soundly): stop dispatching — every further
+                # device call in this process would fail too — and finalize
+                # an honest FEASIBLE/NOT_SOLVED from host state.  Also bars
+                # the auto_fallback_lp solve below (it would re-raise).
+                device_lost = True
+                hard_limit_reached = True  # never claim frontier exhaustion
+                log.warn("device lost; stopping dispatch, finalizing from host state")
+                break
             if bnb.checkpoint_path and now >= next_ckpt:
                 save_checkpoint()
                 next_ckpt = now + bnb.checkpoint_interval_sec
@@ -2905,7 +2950,7 @@ def _branch_and_bound(
         )
 
     log.info("No integer incumbent found within node limit")
-    if bnb.auto_fallback_lp and not device_lost:
+    if bnb.auto_fallback_lp and not device_lost and not solver.device_lost:
         # reference --bnb-auto-fallback-lp (src/sypha_solver_bnb_driver.cpp:
         # 1138-1158): degrade MILP -> LP relaxation so the caller still gets
         # bounds + a fractional solution

@@ -612,18 +612,24 @@ def test_bnb_survives_device_loss(monkeypatch):
         rows=rows,
         name="devloss",
     )
-    real = bnb_mod._NodeLpSolver.solve_nodes
+    # inject the crash INSIDE the guard (through _solve_nodes_impl) so
+    # solve_nodes' own device-loss latch + _failed_window path is what the
+    # test exercises — patching solve_nodes itself would bypass the guard
+    real = bnb_mod._NodeLpSolver._solve_nodes_impl
     calls = {"n": 0}
+    windows = []
 
-    def crashing(self, *a, **k):
+    def crashing(self, nodes, *a, **k):
         calls["n"] += 1
         if calls["n"] > 1:
             raise RuntimeError(
                 "UNAVAILABLE: TPU worker process crashed or restarted."
             )
-        return real(self, *a, **k)
+        out = real(self, nodes, *a, **k)
+        windows.append((self, out))
+        return out
 
-    monkeypatch.setattr(bnb_mod._NodeLpSolver, "solve_nodes", crashing)
+    monkeypatch.setattr(bnb_mod._NodeLpSolver, "_solve_nodes_impl", crashing)
     # host phases that close tiny instances at the root are disabled so
     # the tree actually branches and the crash fires mid-search
     from sypha_tpu.config import BnbOptions
@@ -643,3 +649,24 @@ def test_bnb_survives_device_loss(monkeypatch):
     # (greedy cover, presolve) could still prove
     assert r.status in (MilpStatus.OPTIMAL, MilpStatus.FEASIBLE, MilpStatus.NOT_SOLVED)
     assert np.isfinite(r.wall_time_sec)
+    # the crash fired after the root window, so it can never claim a proof
+    # past the surviving frontier: OPTIMAL is only honest if the gap truly
+    # closed before the loss
+    if r.status == MilpStatus.OPTIMAL:
+        assert r.mip_gap == 0.0 and r.dual_bound == r.objective
+    # the guard latched the flag (so the loop stopped dispatching) and a
+    # degraded window's records are drop-in replacements for real ones:
+    # same keys, same x/y shapes as what _branch_and_bound consumes
+    solver_obj, real_window = windows[-1]
+    assert solver_obj.device_lost is True
+    failed = solver_obj._failed_window([bnb_mod.BranchNode()])
+    assert set(failed[0]) == set(real_window[0])
+    assert failed[0]["x"].shape == real_window[0]["x"].shape
+    assert failed[0]["y"].shape == real_window[0]["y"].shape
+    assert failed[0]["status"] == bnb_mod.IpmStatus.INFEASIBLE_OR_NUMERICAL
+    # mutation guard: a fresh solver must initialize device_lost=False
+    fresh = bnb_mod._NodeLpSolver.__new__(bnb_mod._NodeLpSolver)
+    fresh.__init__(
+        solver_obj.base, solver_obj.cfg, solver_obj.log, mesh=None
+    )
+    assert fresh.device_lost is False
