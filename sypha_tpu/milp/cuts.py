@@ -151,6 +151,145 @@ def row_triple_zero_half(
     return cuts
 
 
+def zero_half_mod2(
+    model: BaseModel,
+    x: np.ndarray,
+    dual: np.ndarray,
+    tol: float,
+    max_cuts: int = 30,
+    max_rows: int = 512,
+    max_cols: int = 4096,
+) -> List[Cut]:
+    """General {0,1/2}-Chvátal (zerohalf) separation via mod-2 elimination.
+
+    For ANY odd-size subset R of integer >=-rows, the weight-1/2 CG cut
+    ``sum_j ceil((sum_{i in R} a_ij)/2) x_j >= ceil(sum_{i in R} b_i / 2)``
+    is violated at the LP point x* by exactly
+    ``(1 - S_R - sum_{j: parity_j odd} x*_j) / 2`` where ``S_R`` is the
+    total row slack over R and parity_j = sum_{i in R} a_ij mod 2.
+    Separation therefore reduces to finding an odd row combination of
+    small slack+odd-mass weight in GF(2) — the Caprara–Fischetti '96
+    problem (SCIP's sepa_zerohalf is the production analogue; the
+    reference has no counterpart, its separators stop at row pairs,
+    src/sypha_solver_cuts.cpp:100-216).  This subsumes the triple
+    enumerator below: any odd |R|, guided by Gaussian elimination that
+    cancels the heaviest fractional columns first, instead of
+    exhaustive enumeration of |R|=3.
+
+    Soundness: candidates from the elimination are only *guides* — every
+    emitted cut is rebuilt from the ORIGINAL rows of R and passes through
+    :func:`_cg_round`'s exact-ceil rounding and violation check, so the
+    scp44 lesson (exact LHS ceil, RHS-only tolerance) is inherited.
+    """
+    A, rhs = model.rel_csr()
+    nrows = A.shape[0]
+    xs = np.clip(x[: model.ncols], 0.0, None)
+
+    # -- candidate rows: integer rows whose slack leaves room for violation
+    slack = np.asarray(A @ xs).ravel() - rhs
+    rows_ok = slack < 1.0 - tol
+    # only rows with (near-)integer coefficients and rhs participate in the
+    # parity argument; covering rows are 0/1 and CG cut rows are integer by
+    # construction, but guard anyway (objective-cover rows are -1s: fine).
+    rhs_int = np.abs(rhs - np.round(rhs)) < 1e-9
+    cand_rows = np.flatnonzero(rows_ok & rhs_int)
+    if len(cand_rows) < 3:
+        return []
+    if len(cand_rows) > max_rows:
+        cand_rows = cand_rows[np.argsort(slack[cand_rows], kind="stable")[:max_rows]]
+    mR = len(cand_rows)
+
+    Asub = A[cand_rows]
+    data_round = np.round(Asub.data)
+    if np.abs(Asub.data - data_round).max(initial=0.0) > 1e-9:
+        return []  # non-integer coefficients somewhere; stay out
+    # -- candidate columns for the parity weight: fractional support only.
+    frac_cols = np.flatnonzero(xs > 1e-4)
+    if len(frac_cols) == 0:
+        return []
+    if len(frac_cols) > max_cols:
+        frac_cols = frac_cols[np.argsort(-xs[frac_cols], kind="stable")[:max_cols]]
+    # order columns by decreasing x*: the elimination cancels heavy ones first
+    frac_cols = frac_cols[np.argsort(-xs[frac_cols], kind="stable")]
+    nC = len(frac_cols)
+    xw = xs[frac_cols]
+
+    # -- packed GF(2) incidence over (cand_rows, frac_cols)
+    import scipy.sparse
+
+    Modd = Asub[:, frac_cols].tocoo()
+    parity = (np.round(Modd.data).astype(np.int64) & 1).astype(bool)
+    words = (nC + 63) // 64
+    M = np.zeros((mR, words), dtype=np.uint64)
+    rr, cc = Modd.row[parity], Modd.col[parity]
+    np.bitwise_xor.at(M, (rr, cc // 64), np.uint64(1) << (cc % 64).astype(np.uint64))
+
+    cwords = (mR + 63) // 64
+    comb = np.zeros((mR, cwords), dtype=np.uint64)
+    comb[np.arange(mR), np.arange(mR) // 64] = np.uint64(1) << (
+        np.arange(mR) % 64
+    ).astype(np.uint64)
+    rhsp = (np.round(rhs[cand_rows]).astype(np.int64) & 1).astype(np.uint8)
+    slackw = slack[cand_rows].copy()  # additive proxy (>= exact S_R)
+
+    def row_mass(rows_idx: np.ndarray) -> np.ndarray:
+        """Sum of x* over set bits, per row (exact over frac_cols)."""
+        bits = np.unpackbits(
+            M[rows_idx].view(np.uint8), axis=1, bitorder="little", count=nC
+        )
+        return bits @ xw
+
+    alive = np.ones(mR, dtype=bool)
+    for c in range(min(nC, mR)):
+        w, b = c // 64, np.uint64(c % 64)
+        has = alive & (((M[:, w] >> b) & np.uint64(1)).astype(bool))
+        idx = np.flatnonzero(has)
+        if len(idx) == 0:
+            continue
+        proxy = slackw[idx] + row_mass(idx)
+        p = idx[int(np.argmin(proxy))]
+        rest = idx[idx != p]
+        if len(rest):
+            M[rest] ^= M[p]
+            comb[rest] ^= comb[p]
+            slackw[rest] += slackw[p]
+            rhsp[rest] ^= rhsp[p]
+        alive[p] = False
+
+    # -- evaluate every combination (pivots included): odd rhs parity and
+    # small proxy weight first, exact rebuild + check via _cg_round.
+    odd = np.flatnonzero(rhsp == 1)
+    if len(odd) == 0:
+        return []
+    proxy = slackw[odd] + row_mass(odd)
+    order = odd[np.argsort(proxy, kind="stable")]
+    Acsr = A.tocsr()
+    cuts: List[Cut] = []
+    seen: set = set()
+    for i in order[: 4 * max_cuts]:
+        if slackw[i] + 0.0 >= 1.0:  # even the slack proxy alone kills it
+            continue
+        bits = np.unpackbits(
+            comb[i].view(np.uint8), bitorder="little", count=mR
+        ).astype(bool)
+        R = cand_rows[bits]
+        if len(R) % 2 == 0 or len(R) == 1:
+            continue
+        key = tuple(R.tolist())
+        if key in seen:
+            continue
+        seen.add(key)
+        agg = 0.5 * np.asarray(Acsr[R].sum(axis=0)).ravel()
+        rhs_sum = 0.5 * float(rhs[R].sum())
+        cut = _cg_round(agg, rhs_sum, xs, tol)
+        if cut is not None:
+            cut.kind = "cg_zero_half_mod2"
+            cuts.append(cut)
+            if len(cuts) >= max_cuts:
+                break
+    return cuts
+
+
 def objective_cover_cuts(
     model: BaseModel,
     x: np.ndarray,
@@ -222,6 +361,8 @@ def separate_cuts(
     cuts = dual_aggregated_cg(model, x, dual, tol)
     if len(cuts) < max_cuts:
         cuts += row_pair_cg(model, x, dual, tol)
+    if len(cuts) < max_cuts:
+        cuts += zero_half_mod2(model, x, dual, tol)
     if len(cuts) < max_cuts:
         cuts += row_triple_zero_half(model, x, dual, tol)
     if len(cuts) < max_cuts and obj_is_integral:

@@ -166,6 +166,37 @@ def test_bnb_random_instances_vs_scipy():
         assert abs(r.objective - expected) < 1e-9, (trial, r.objective, expected)
 
 
+def test_zero_half_mod2_closes_odd_cycles():
+    """The mod-2 zerohalf separator must find the full odd-cycle cut
+    sum(x) >= ceil(L/2) on an odd L-cycle — a set the pair/triple
+    enumerators cannot reach for L >= 5 — and the cut must be valid for
+    every integer cover."""
+    import itertools
+
+    from sypha_tpu.milp.cuts import zero_half_mod2
+
+    for L in (5, 7, 9):
+        lines = [f"{L} {L}", " ".join(["1"] * L)]
+        for i in range(L):
+            cols = sorted([i, (i - 1) % L])
+            lines.append("2")
+            lines.append(" ".join(str(c + 1) for c in cols))
+        m = parse_scp_text("\n".join(lines) + "\n", name=f"odd{L}")
+        base = BaseModel(m)
+        x = np.full(L, 0.5)  # the LP optimum of the odd cycle
+        dual = np.full(L, 0.5)
+        cuts = zero_half_mod2(base, x, dual, 1e-6)
+        assert cuts, f"no zerohalf cut on the odd {L}-cycle"
+        full = [c for c in cuts if len(c.indices) == L and c.rhs == (L + 1) // 2]
+        assert full, f"odd-{L} cycle cut missing: {[(c.indices, c.rhs) for c in cuts]}"
+        for cut in cuts:
+            for bits in itertools.product([0, 1], repeat=L):
+                xx = np.asarray(bits, dtype=np.float64)
+                if base.is_cover(xx):
+                    lhs = cut.values @ xx[cut.indices]
+                    assert lhs + 1e-9 >= cut.rhs, (L, bits)
+
+
 def test_objective_cover_cuts_valid_for_improving_covers():
     """Objective-budget cover cuts must hold for every cover STRICTLY
     better than the incumbent (they are conditional cuts, like the
@@ -450,7 +481,11 @@ def test_compact_resolve_end_to_end(monkeypatch):
 
     monkeypatch.setattr(presolve_mod, "exact_small_cover", fake_exact)
     monkeypatch.setattr(bnb_mod, "branch_and_bound", wrapped_bnb)
-    r = orig_bnb(m, SolverConfig(verbosity=0))
+    # cuts off: the zerohalf separator closes odd cycles at the root,
+    # which would solve this instance before the compact re-solve triggers
+    from sypha_tpu.config import BnbOptions
+
+    r = orig_bnb(m, SolverConfig(verbosity=0, bnb=BnbOptions(cuts_enabled=False)))
     assert state["depth"] >= 1, "compact re-solve did not trigger"
     assert r.status == MilpStatus.OPTIMAL
     assert abs(r.objective - expected) < 1e-9
