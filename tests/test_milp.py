@@ -197,6 +197,41 @@ def test_zero_half_mod2_closes_odd_cycles():
                     assert lhs + 1e-9 >= cut.rhs, (L, bits)
 
 
+def test_mod_k_cuts_close_circulant_triples():
+    """Mod-3 CG must cut the 1/3-fractional circulant: 7 rows, col j covers
+    rows {j, j+1, j+2} mod 7.  LP optimum is x*=1/3 (obj 7/3); weight-1/3
+    aggregation of ALL rows gives sum(x) >= ceil(7/3) = 3 — a cut no
+    {0,1/2} weighting can produce from this point (every column would
+    need odd parity and the x* mass of any 3+ columns exceeds the mod-2
+    deficit budget)."""
+    import itertools
+
+    from sypha_tpu.milp.cuts import mod_k_cuts
+
+    L = 7
+    lines = [f"{L} {L}", " ".join(["1"] * L)]
+    for i in range(L):
+        cols = sorted({i, (i - 1) % L, (i - 2) % L})
+        lines.append(str(len(cols)))
+        lines.append(" ".join(str(c + 1) for c in cols))
+    m = parse_scp_text("\n".join(lines) + "\n", name="circ7x3")
+    base = BaseModel(m)
+    x = np.full(L, 1.0 / 3.0)
+    dual = np.full(L, 1.0 / 3.0)
+    cuts = mod_k_cuts(base, x, dual, 1e-6, k=3)
+    assert cuts, "no mod-3 cut on the 3-circulant"
+    assert any(
+        len(c.indices) == L and c.rhs == 3.0 and np.all(c.values == 1.0)
+        for c in cuts
+    ), [(c.indices, c.values, c.rhs) for c in cuts]
+    for cut in cuts:
+        for bits in itertools.product([0, 1], repeat=L):
+            xx = np.asarray(bits, dtype=np.float64)
+            if base.is_cover(xx):
+                lhs = cut.values @ xx[cut.indices]
+                assert lhs + 1e-9 >= cut.rhs, bits
+
+
 def test_objective_cover_cuts_valid_for_improving_covers():
     """Objective-budget cover cuts must hold for every cover STRICTLY
     better than the incumbent (they are conditional cuts, like the
