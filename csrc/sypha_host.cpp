@@ -22,8 +22,13 @@
 #include <cstdlib>
 #include <cstring>
 #include <vector>
+#include <x86intrin.h>
 
 namespace {
+
+// cycle counter for the SYPHA_EC_PROF section attribution (profiling only;
+// rdtsc is not serializing, good enough for >10%-scale attribution)
+inline uint64_t ec_now() { return __rdtsc(); }
 
 using Clock = std::chrono::steady_clock;
 
@@ -526,6 +531,11 @@ struct ExactCoverCtx {
     int64_t n_asc_visits = 0;  // ascent candidate-slack loads
     int64_t n_apply = 0;       // dual_apply invocations
     int64_t n_dom_pairs = 0;   // dominance pairwise word loops
+    // rdtsc section cycles (printed under SYPHA_EC_PROF): node bound scan,
+    // ascend_pass, ascend_after_ban, dominance scan, child-cover+descend
+    bool prof = false;
+    int64_t cyc_scan = 0, cyc_asc = 0, cyc_ban_asc = 0, cyc_dom = 0,
+            cyc_child = 0, cyc_undo = 0;
     std::vector<int32_t> chosen;
     // per-depth child-cover buffers: the DFS visits millions of nodes and
     // a per-candidate heap allocation for cov2 is pure overhead; siblings
@@ -544,13 +554,21 @@ struct ExactCoverCtx {
     // bookkeeping.
     bool ascend = false;
     std::vector<double> u;
-    std::vector<double> redc;
-    // branchless shadow of redc for the min-slack gathers: equals redc[i]
-    // for live columns, 1e300 for banned ones (maintained on ban/unban
-    // and in dual_apply).  The ascent's inner loop is the DFS's dominant
-    // cost (measured 14.7e9 candidate visits on the scpnre3 budget-25
-    // face) and the banned-branch blocked vectorization.
+    // the tracked reduced cost: equals redc[i] for live columns, 1e300 for
+    // banned ones (maintained on ban/unban and in dual_apply).  The ascent
+    // inner loop is the DFS's dominant cost (measured 14.7e9 candidate
+    // visits on the scpnre3 budget-25 face).  There is deliberately NO
+    // second "true redc" array: dual_apply/ascend_undo used to mirror
+    // every update into one (2x the write traffic of the hottest store
+    // path, ~18% of DFS cycles in undo alone) solely so unban_col could
+    // restore the shadow exactly; the restore is instead recomputed from
+    // the invariant  redc[i] = redc0[i] + u0sum[i] - sum_{r in mask_i} u[r]
+    // (redc0 = initial clamped reduced cost incl. static cut deductions,
+    // u0sum = initial mask-row dual mass), one ~popcount(mask)-long sum
+    // per unban vs millions of mirrored stores between ban/unban pairs.
     std::vector<double> redc_eff;
+    std::vector<double> redc0;   // initial reduced costs (static)
+    std::vector<double> u0sum;   // sum of initial u over each column's rows
     // per-row zero-slack witness: the candidate last observed at zero
     // slack for row r.  Most gathers on near-saturated plateau faces end
     // at SOME zero-slack candidate; caching which one turns the rescan
@@ -620,8 +638,26 @@ inline void ban_col(ExactCoverCtx& ctx, int32_t i) {
 
 inline void unban_col(ExactCoverCtx& ctx, int32_t i) {
     ctx.banned[static_cast<size_t>(i)] = 0;
-    ctx.redc_eff[static_cast<size_t>(i)] = ctx.redc[static_cast<size_t>(i)];
     const uint64_t* mi = ctx.masks + static_cast<size_t>(i) * ctx.nwords;
+    if (ctx.ascend) {
+        // exact restore from the invariant (see redc_eff comment): initial
+        // reduced cost plus how much this column's rows' dual mass moved
+        double s = ctx.redc0[static_cast<size_t>(i)] +
+                   ctx.u0sum[static_cast<size_t>(i)];
+        for (int64_t w = 0; w < ctx.nwords; ++w) {
+            uint64_t m = mi[w];
+            while (m) {
+                const int bit = __builtin_ctzll(m);
+                m &= m - 1;
+                s -= ctx.u[static_cast<size_t>((w << 6) + bit)];
+            }
+        }
+        ctx.redc_eff[static_cast<size_t>(i)] = s;
+    } else {
+        // without the ascent no path reads redc_eff (witness/dynamic bans
+        // are ascend-gated); keep it finite for hygiene
+        ctx.redc_eff[static_cast<size_t>(i)] = 0.0;
+    }
     for (int64_t w = 0; w < ctx.nwords; ++w) {
         uint64_t m = mi[w] & ctx.full[w];
         while (m) {
@@ -642,12 +678,34 @@ inline void dual_apply(ExactCoverCtx& ctx, int32_t r, double d) {
     ++ctx.n_apply;
     ctx.u[static_cast<size_t>(r)] += d;
     for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r)]) {
-        ctx.redc[static_cast<size_t>(i)] -= d;
         // banned columns' shadow stays huge (1e300 absorbs d); unban
-        // resets it from redc exactly, so no drift accumulates
+        // recomputes it from u exactly, so no drift accumulates
         ctx.redc_eff[static_cast<size_t>(i)] -= d;
     }
     ctx.ulog.emplace_back(r, d);
+}
+
+// min reduced-cost gather over a row's candidate list: the DFS's dominant
+// inner loop (48.8% of cycles, SYPHA_EC_PROF on the scpnre5 budget-26
+// face).  Deliberately SCALAR: an AVX-512 vgatherdpd + masked-min version
+// was measured 23% SLOWER end-to-end (3.2s vs 2.6s on that face) — the
+// zero-slack early exit ends most gathers within a few candidates (277M
+// scalar visits vs 386M vectorized), and an 8-lane gather costs more than
+// the handful of L1 loads it replaces.
+inline void min_slack_gather(const std::vector<int32_t>& cand,
+                             const double* redc_eff, double& d, int32_t& amin,
+                             int64_t& seen) {
+    d = 1e300;
+    amin = -1;
+    size_t p = 0;
+    const size_t n = cand.size();
+    for (; p < n; ++p) {
+        const int32_t i = cand[p];
+        const double rcij = redc_eff[static_cast<size_t>(i)];
+        if (rcij < d) { d = rcij; amin = i; }
+        if (d <= 1e-12) { ++p; break; }
+    }
+    seen += static_cast<int64_t>(p);
 }
 
 double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
@@ -668,24 +726,16 @@ double ascend_pass(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                     ++ctx.n_asc_visits;
                     continue;
                 }
+                // redc >= 0 is an ascent invariant, so a zero-slack
+                // candidate ends the min-gather exactly: the row can gain
+                // nothing this sweep.  The gather is the DFS's dominant
+                // cost (60.7e9 visits on the scpnre1 budget-27 face) —
+                // AVX-512 inside min_slack_gather.
                 const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
-                double d = 1e300;
-                int32_t amin = -1;
-                int64_t seen = 0;
-                for (int32_t i : cand) {
-                    ++seen;
-                    const double rcij = ctx.redc_eff[static_cast<size_t>(i)];
-                    if (rcij < d) { d = rcij; amin = i; }
-                    // redc >= 0 is an ascent invariant, so a zero-slack
-                    // candidate ends the min-gather exactly: the row can
-                    // gain nothing this sweep.  The gather is the DFS's
-                    // dominant cost (60.7e9 visits on the scpnre1
-                    // budget-27 face) and most uncovered rows have an
-                    // early zero-slack candidate once the root duals are
-                    // near-saturated.
-                    if (d <= 1e-12) break;
-                }
-                ctx.n_asc_visits += seen;
+                double d;
+                int32_t amin;
+                min_slack_gather(cand, ctx.redc_eff.data(), d, amin,
+                                 ctx.n_asc_visits);
                 if (d >= 1e290) d = 1e300;  // all banned == uncoverable
                 if (d >= 1e300) return 1e300;  // row uncoverable here: prune
                 if (d > 1e-12) {
@@ -725,19 +775,13 @@ double ascend_after_ban(ExactCoverCtx& ctx, const std::vector<uint64_t>& cov,
                 ++ctx.n_asc_visits;
                 continue;
             }
+            // redc_eff is 1e300 for banned columns — one load covers both
+            // the ban skip and the slack
             const auto& cand = (*ctx.by_row)[static_cast<size_t>(r)];
-            double d = 1e300;
-            int32_t amin = -1;
-            int64_t seen = 0;
-            for (int32_t i : cand) {
-                ++seen;
-                // redc_eff is 1e300 for banned columns — one load covers
-                // both the ban skip and the slack
-                const double rcij = ctx.redc_eff[static_cast<size_t>(i)];
-                if (rcij < d) { d = rcij; amin = i; }
-                if (d <= 1e-12) break;  // zero slack: no gain possible
-            }
-            ctx.n_asc_visits += seen;
+            double d;
+            int32_t amin;
+            min_slack_gather(cand, ctx.redc_eff.data(), d, amin,
+                             ctx.n_asc_visits);
             if (d >= 1e290) return 1e300;  // row uncoverable here: prune
             if (d > 1e-12) {
                 dual_apply(ctx, r, d);
@@ -753,10 +797,8 @@ void ascend_undo(ExactCoverCtx& ctx, size_t mark) {
     while (ctx.ulog.size() > mark) {
         const auto& e = ctx.ulog.back();
         ctx.u[static_cast<size_t>(e.first)] -= e.second;
-        for (int32_t i : (*ctx.by_row)[static_cast<size_t>(e.first)]) {
-            ctx.redc[static_cast<size_t>(i)] += e.second;
+        for (int32_t i : (*ctx.by_row)[static_cast<size_t>(e.first)])
             ctx.redc_eff[static_cast<size_t>(i)] += e.second;
-        }
         ctx.ulog.pop_back();
     }
 }
@@ -777,6 +819,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     int32_t r_pick = -1;
     int32_t pick_c = INT32_MAX;
     int32_t n_unc = 0;
+    uint64_t t_sec = ctx.prof ? ec_now() : 0;
     for (int64_t w = 0; w < ctx.nwords; ++w) {
         uint64_t miss = ctx.full[w] & ~cov[static_cast<size_t>(w)];
         n_unc += __builtin_popcountll(miss);
@@ -796,6 +839,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             miss &= miss - 1;
         }
     }
+    if (ctx.prof) { uint64_t t2 = ec_now(); ctx.cyc_scan += t2 - t_sec; t_sec = t2; }
     if (r_pick < 0) return true;  // covered
     // an uncovered row with no live candidate refutes the node outright
     // (every ban is completion-preserving in this subtree's scope)
@@ -810,10 +854,14 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     if (ctx.ascend) {
         // greedy dual ascent on the uncovered rows: feasible-u mass is a
         // per-node-adaptive Lagrangian bound (undone on backtrack)
+        if (ctx.prof) t_sec = ec_now();
         lb_u = ascend_pass(ctx, cov, lb_u, ctx.node_sweeps);
+        if (ctx.prof) { uint64_t t2 = ec_now(); ctx.cyc_asc += t2 - t_sec; }
         if (lb_u >= 1e299 ||
             cost + ctx.lbr(lb_u + cmass) > ctx.budget + 1e-9) {
+            if (ctx.prof) t_sec = ec_now();
             ascend_undo(ctx, umark);
+            if (ctx.prof) ctx.cyc_undo += ec_now() - t_sec;
             return false;
         }
     }
@@ -842,6 +890,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
     // uncovered sets: on wide-open nodes random coverage supersets are
     // vanishingly rare (measured 0 bans on scpnre probes) and the pairwise
     // scan is pure overhead.
+    if (ctx.prof) t_sec = ec_now();
     if (n_unc <= ctx.dom_limit) {
         const auto& cand = (*ctx.by_row)[static_cast<size_t>(r_pick)];
         const size_t kc = cand.size();
@@ -868,6 +917,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             }
         }
     }
+    if (ctx.prof) { uint64_t t2 = ec_now(); ctx.cyc_dom += t2 - t_sec; }
     for (int32_t i : (*ctx.by_row)[static_cast<size_t>(r_pick)]) {
         if (ctx.banned[static_cast<size_t>(i)]) continue;
         if (cost + ctx.costs[i] > ctx.budget + 1e-9) break;  // cost-sorted
@@ -885,7 +935,8 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // deducts w.a_i and the residual counts i's own contribution, so
         // no per-candidate rho adjustment is needed — see ctx comment)
         if (ctx.ascend &&
-            cost + ctx.lbr(lb_u + cmass + ctx.redc[static_cast<size_t>(i)]) >
+            cost + ctx.lbr(lb_u + cmass +
+                           ctx.redc_eff[static_cast<size_t>(i)]) >
                 ctx.budget + 1e-9) {
             ban_col(ctx, i);
             bans_here.push_back(i);
@@ -894,6 +945,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // pool preallocated to nrows+1 depths (each chosen column covers
         // >= 1 new row, so depth <= nrows); resizing here would dangle the
         // cov references held by ancestor frames
+        if (ctx.prof) t_sec = ec_now();
         std::vector<uint64_t>& cov2 = ctx.cov_pool[static_cast<size_t>(depth)];
         for (int64_t w = 0; w < ctx.nwords; ++w)
             cov2[static_cast<size_t>(w)] =
@@ -927,6 +979,7 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             }
         }
         ctx.chosen.push_back(i);
+        if (ctx.prof) ctx.cyc_child += ec_now() - t_sec;
         const bool child_found =
             exact_cover_dfs(ctx, cov2, cost + ctx.costs[i], depth + 1);
         if (ctx.ncuts)
@@ -937,7 +990,9 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
             break;
         }
         ctx.chosen.pop_back();
+        if (ctx.prof) t_sec = ec_now();
         ascend_undo(ctx, cmark);
+        if (ctx.prof) ctx.cyc_undo += ec_now() - t_sec;
         if (ctx.timed_out) break;
         // branch refuted: no qualifying completion contains i
         ban_col(ctx, i);
@@ -946,7 +1001,9 @@ bool exact_cover_dfs(ExactCoverCtx& ctx, std::vector<uint64_t>& cov, double cost
         // the ban released (rows(i) only — see ascend_after_ban) and
         // re-check before the next sibling
         if (ctx.ascend) {
+            if (ctx.prof) t_sec = ec_now();
             lb_u = ascend_after_ban(ctx, cov, lb_u, i);
+            if (ctx.prof) ctx.cyc_ban_asc += ec_now() - t_sec;
             if (lb_u >= 1e299 ||
                 cost + ctx.lbr(lb_u + cmass) > ctx.budget + 1e-9)
                 break;
@@ -1123,9 +1180,23 @@ int exact_cover_impl(
     ctx.ascend = ascend;
     ctx.banned.assign(k, 0);
     if (ascend) {
+        ctx.redc0 = std::move(redc0);
+        ctx.redc_eff = ctx.redc0;
+        ctx.u0sum.resize(k);
+        for (size_t i = 0; i < k; ++i) {
+            const uint64_t* mi = m.data() + i * static_cast<size_t>(nwords);
+            double s = 0.0;
+            for (int64_t w = 0; w < nwords; ++w) {
+                uint64_t mm = mi[w];
+                while (mm) {
+                    const int bit = __builtin_ctzll(mm);
+                    mm &= mm - 1;
+                    s += u0[static_cast<size_t>((w << 6) + bit)];
+                }
+            }
+            ctx.u0sum[i] = s;
+        }
         ctx.u = std::move(u0);
-        ctx.redc = std::move(redc0);
-        ctx.redc_eff = ctx.redc;
         ctx.witness.assign(static_cast<size_t>(nrows), -1);
         ctx.ulog.reserve(1024);
     }
@@ -1190,7 +1261,7 @@ int exact_cover_impl(
                              round, lb_u, cm0);
             for (size_t i = 0; i < k; ++i) {
                 if (dead[i]) continue;
-                if (ctx.lbr(lb_u + cm0 + ctx.redc[i]) > budget + 1e-9) {
+                if (ctx.lbr(lb_u + cm0 + ctx.redc_eff[i]) > budget + 1e-9) {
                     dead[i] = 1;
                     ++dropped;
                 }
@@ -1275,6 +1346,7 @@ int exact_cover_impl(
     // after the probe filter has rebuilt by_row/n_cands: seed the live
     // (non-banned) per-row candidate counts the DFS maintains via bans
     ctx.live_cands.assign(n_cands.begin(), n_cands.end());
+    ctx.prof = std::getenv("SYPHA_EC_PROF") != nullptr;
     const bool found = exact_cover_dfs(ctx, cov, 0.0, 0);
     if (std::getenv("SYPHA_EC_STATS") != nullptr)
         std::fprintf(stderr,
@@ -1285,6 +1357,18 @@ int exact_cover_impl(
                      static_cast<long long>(ctx.n_asc_visits),
                      static_cast<long long>(ctx.n_apply),
                      static_cast<long long>(ctx.n_dom_pairs));
+    if (ctx.prof) {
+        const double tot = static_cast<double>(
+            ctx.cyc_scan + ctx.cyc_asc + ctx.cyc_ban_asc + ctx.cyc_dom +
+            ctx.cyc_child + ctx.cyc_undo);
+        std::fprintf(stderr,
+                     "[ec] prof cycles: scan=%.1f%% asc=%.1f%% ban_asc=%.1f%% "
+                     "dom=%.1f%% child=%.1f%% undo=%.1f%% (total %.3g)\n",
+                     100.0 * ctx.cyc_scan / tot, 100.0 * ctx.cyc_asc / tot,
+                     100.0 * ctx.cyc_ban_asc / tot, 100.0 * ctx.cyc_dom / tot,
+                     100.0 * ctx.cyc_child / tot, 100.0 * ctx.cyc_undo / tot,
+                     tot);
+    }
     if (found) {
         std::fill(out_sel, out_sel + ncols, 0);
         for (int32_t i : ctx.chosen) out_sel[act[static_cast<size_t>(i)]] = 1;
