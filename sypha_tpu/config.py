@@ -227,6 +227,13 @@ class BnbOptions:
     # host core (the 1-CPU host otherwise splits it and the final proof
     # misses the budget).  0 disables.
     endgame_frontier: int = 256
+    # Second endgame trigger: at one unit of gap with the closure busy, a
+    # frontier that is PLATEAUED in time (no incumbent or bound change for
+    # this many seconds) arms the endgame even before the frontier-size
+    # gate.  Measured scpnre1 (r5 verbose run): windows ramp 1,2,4,... so
+    # the frontier took ~55 s of the final 204 s refute to reach 256 nodes
+    # of zero bound progress — host cycles the DFS needed.  0 disables.
+    endgame_stall_sec: float = 20.0
     # Repeated core rounds (CFT core-refresh style): after a round improves
     # the incumbent the core is rebuilt around the new support and searched
     # again; a non-improving round doubles the core size once before

