@@ -33,6 +33,18 @@ FAMILIES = {
 
 DATA_DIR = os.environ.get("SYPHA_DATA_DIR", "/root/reference/data")
 
+# Per-family BnbOptions overrides.  scpnrg: the padded-ELL executables at
+# this family's shape (kr=256 row slots, 1088x11136 bucket) reliably crash
+# the REMOTE TPU worker ~200 s in ("UNAVAILABLE: TPU worker process
+# crashed", kernel fault — 9 failed runs across 2026-08-19/20, including
+# with the ELL device-operator cache ruling out re-uploads), while the
+# dense operator completes every time; scpnre/scpnrh ELL shapes are fine.
+# Dense costs ~1.35x per product on this family (CLAUDE.md) but a 300 s
+# row beats a dead worker.
+FAMILY_BNB_OVERRIDES = {
+    "scpnrg": {"node_operator": "dense"},
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -97,6 +109,7 @@ def main():
                     verbosity=1,
                     bnb=BnbOptions(
                         hard_time_limit_sec=min(30.0, args.time_limit),
+                        **FAMILY_BNB_OVERRIDES.get(fam.strip(), {}),
                     ),
                 )
                 branch_and_bound(wm, wcfg)
@@ -132,7 +145,10 @@ def main():
             else:
                 cfg = SolverConfig(
                     verbosity=1,
-                    bnb=BnbOptions(hard_time_limit_sec=args.time_limit),
+                    bnb=BnbOptions(
+                        hard_time_limit_sec=args.time_limit,
+                        **FAMILY_BNB_OVERRIDES.get(fam.strip(), {}),
+                    ),
                 )
                 r = branch_and_bound(model, cfg)
                 t_solver = time.monotonic() - t1

@@ -20,6 +20,10 @@ import jax.numpy as jnp
 
 from sypha_tpu.core.problem import PaddedLp, ScpModel
 
+# device-side EllMatrix operators keyed by content digest (see
+# pad_standard_form_ell); insertion-ordered dict as a 4-entry LRU
+_ELL_DEVICE_CACHE: dict = {}
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -129,7 +133,29 @@ def pad_standard_form_ell(
     n = n_struct + m
     if m_pad < m or n_pad < n:
         raise ValueError(f"padded dims ({m_pad},{n_pad}) smaller than real ({m},{n})")
-    A = ell_from_rows(row_data, n_struct=n_struct, m_pad=m_pad, n_pad=n_pad)
+    # Content-addressed device-operator cache: the ELL arrays depend only on
+    # the exact row content and padding, and the driver rebuilds the SAME
+    # operator repeatedly — every rc-fix refresh (the mask lives in c, not
+    # A) and every core-search child (same ScpModel, fresh BaseModel).
+    # Each rebuild re-uploaded tens of MB through the axon tunnel, and on
+    # scpnrg-class instances the repeated uploads reliably crashed the
+    # remote TPU worker (kernel fault at batched_device_put, 9 runs across
+    # 2026-08-19/20; scpnre/nrh upload fine).  Keyed by a blake2b digest of
+    # (dims, indices, values) so the hit is exact, never heuristic.
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(np.asarray([n_struct, m_pad, n_pad, m], dtype=np.int64).tobytes())
+    for idx, val in row_data:
+        h.update(np.ascontiguousarray(idx, dtype=np.int32).tobytes())
+        h.update(np.ascontiguousarray(val, dtype=np.float64).tobytes())
+    key = h.digest()
+    A = _ELL_DEVICE_CACHE.get(key)
+    if A is None:
+        A = ell_from_rows(row_data, n_struct=n_struct, m_pad=m_pad, n_pad=n_pad)
+        if len(_ELL_DEVICE_CACHE) >= 4:  # tiny LRU: drop the oldest
+            _ELL_DEVICE_CACHE.pop(next(iter(_ELL_DEVICE_CACHE)))
+        _ELL_DEVICE_CACHE[key] = A
     bp = np.zeros(m_pad, dtype=np.float64)
     bp[:m] = rhs
     cp = np.ones(n_pad, dtype=np.float64)
