@@ -1431,6 +1431,21 @@ def _branch_and_bound(
             if time_up():
                 log.info("Time limit reached during root cut rounds")
                 break
+            # closure-reach gate (r5): once rc-fixing has shrunk the active
+            # set into the exact-cover DFS's sweet spot, the async ladder
+            # proves the gap in ~seconds — further cut rounds only bill LP
+            # re-solves + separation against it (scp51: 3 rounds x ~6 s at
+            # 111 active columns that the DFS refutes in <1 s)
+            if (
+                bnb.exact_closure
+                and obj_is_integral
+                and base.n_active <= 384
+            ):
+                log.info(
+                    f"Stopping root cut rounds: {base.n_active} active "
+                    "columns are within exact-closure reach"
+                )
+                break
             if time.monotonic() >= tree_by:
                 log.info(
                     "Root-phase budget reached during cut rounds "

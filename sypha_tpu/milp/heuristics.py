@@ -445,12 +445,20 @@ def lagrangian_greedy_covers(
     deltas = (0.0, 0.05, 0.1, 0.15, 0.2, 0.3)
     # reserve a slice of the budget for phase 3's neighborhood refinement
     t_p2 = t_end - 0.25 * max(0.0, t_end - _time.monotonic())
+    # stagnation exit: easy instances find their best cover within the
+    # first dozens of samples and then burn the whole budget confirming it
+    # (scp51: 15 s spent after 253 = the optimum was already in hand);
+    # 250 samples without improvement is far past the measured point of
+    # diminishing returns on nrg/nrh while ~10x cheaper on scp4/5-class
+    stale = 0
     for k in range(max_samples):
-        if _time.monotonic() >= t_p2:
+        if _time.monotonic() >= t_p2 or stale >= 250:
             break
         delta = deltas[k % len(deltas)]
         u = u_best if delta == 0.0 else u_best * (1.0 + rng.uniform(-delta, delta, m))
+        prev = best_cost
         greedy(u)
+        stale = 0 if best_cost < prev - 1e-9 else stale + 1
 
     # ---- phase 3: large-neighborhood refinement of the best cover ----
     # destroy a random fifth-to-third of the incumbent's columns and
@@ -458,7 +466,8 @@ def lagrangian_greedy_covers(
     # with the incremental greedy each repair costs ~one sample, and the
     # search concentrates where phase 2's independent samples cannot —
     # inside the incumbent's own neighborhood.
-    while best_x is not None and _time.monotonic() < t_end:
+    stale = 0
+    while best_x is not None and _time.monotonic() < t_end and stale < 150:
         sel = np.flatnonzero(best_x > 0.5)
         if len(sel) < 4:
             break
@@ -468,7 +477,9 @@ def lagrangian_greedy_covers(
         )
         keep = np.setdiff1d(sel, kill)
         u = u_best * (1.0 + rng.uniform(-0.15, 0.15, m))
+        prev = best_cost
         greedy(u, init_cols=keep)
+        stale = 0 if best_cost < prev - 1e-9 else stale + 1
 
     if keep_pool > 0 and out.pool:
         out.pool.sort(key=lambda t: t[0])
